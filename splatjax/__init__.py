@@ -12,6 +12,7 @@ from splatjax.scene import (
     build_covariances,
 )
 from splatjax.camera import Camera, make_camera, perspective, look_at
+from splatjax.render import render
 from splatjax import io
 
 __version__ = "0.1.0"
@@ -21,6 +22,7 @@ __all__ = [
     "TrainableGaussians",
     "build_covariances",
     "Camera",
+    "render",
     "make_camera",
     "perspective",
     "look_at",

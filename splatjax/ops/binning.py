@@ -1,0 +1,187 @@
+"""Tile binning: duplicate gaussians per overlapped tile, sort, range-index.
+
+TPU-native replacement for the reference's Web-Worker depth sort
+(index.js:507-567). The worker sorts whole gaussians once per frame because
+the GPU's ROP hardware resolves per-pixel coverage; on TPU the rasterizer is
+a tiled kernel, so we instead build, *on device with static shapes*:
+
+  1. per-gaussian tile span from the projected quad bbox,
+  2. a duplicated instance list (gaussian, tile) of fixed capacity, built
+     with a prefix-sum + searchsorted expansion (no dynamic shapes),
+  3. a front-to-back (tile-major, depth-minor) order via two stable sorts
+     (exact f32 depth — strictly finer than the worker's 16-bit buckets),
+  4. contiguous per-tile [start, end) ranges via searchsorted.
+
+Everything is jnp; gradients flow through the feature gather (its transpose
+is the scatter-add back to gaussians), while index computations are
+non-differentiable constants, as they should be.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from splatjax.ops.projection import ProjectedGaussians
+
+Array = jax.Array
+
+# Feature row layout for the rasterizer (padded to 16 lanes):
+# 0: mean2d.x  1: mean2d.y  2: conic.a  3: conic.b  4: conic.c
+# 5: color.r   6: color.g   7: color.b  8: opacity  9-15: pad
+FEAT_DIM = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class TileConfig:
+    width: int
+    height: int
+    tile_w: int = 16
+    tile_h: int = 16
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.width // self.tile_w)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.height // self.tile_h)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def pixels_per_tile(self) -> int:
+        return self.tile_w * self.tile_h
+
+
+class BinnedInstances(NamedTuple):
+    """Fixed-capacity, tile-sorted duplicated instances."""
+
+    feat: Array        # (FEAT_DIM, K_cap) float32, feature-major, sorted order
+    gauss_id: Array    # (K_cap,) int32 source gaussian per instance
+    tile_id: Array     # (K_cap,) int32 (num_tiles == sentinel for invalid)
+    starts: Array      # (num_tiles,) int32
+    ends: Array        # (num_tiles,) int32
+    num_instances: Array  # () int32 — total before capacity clamp
+    overflow: Array    # () int32 — instances dropped due to capacity
+
+
+def features_from_projection(proj: ProjectedGaussians) -> Array:
+    """Pack per-gaussian screen features into the (N, 16) kernel layout."""
+    n = proj.mean2d.shape[0]
+    opacity = jnp.where(proj.mask, proj.opacity, 0.0)
+    feat = jnp.concatenate(
+        [
+            proj.mean2d,
+            proj.conic,
+            proj.color,
+            opacity[:, None],
+            jnp.zeros((n, FEAT_DIM - 9), jnp.float32),
+        ],
+        axis=-1,
+    )
+    return feat.astype(jnp.float32)
+
+
+def gaussian_tile_span(
+    proj: ProjectedGaussians, cfg: TileConfig
+) -> tuple[Array, Array, Array, Array, Array]:
+    """Per-gaussian inclusive tile bbox [x0, x1] x [y0, y1] and count.
+
+    The bbox covers the rendered quad (bbox_half from projection; corners at
+    +/-2 eigen-axis units, index.js:56-61/160-163). Culled gaussians get
+    count 0.
+    """
+    mx, my = proj.mean2d[:, 0], proj.mean2d[:, 1]
+    bx, by = proj.bbox_half[:, 0], proj.bbox_half[:, 1]
+
+    # A gaussian overlaps tile column c iff [mx-bx, mx+bx] meets
+    # [c*tw, (c+1)*tw]. Off-screen portions clamp away entirely below.
+    x0 = jnp.floor((mx - bx) / cfg.tile_w).astype(jnp.int32)
+    x1 = jnp.floor((mx + bx) / cfg.tile_w).astype(jnp.int32)
+    y0 = jnp.floor((my - by) / cfg.tile_h).astype(jnp.int32)
+    y1 = jnp.floor((my + by) / cfg.tile_h).astype(jnp.int32)
+
+    # fully off-screen -> empty span
+    offscreen = (
+        (x1 < 0) | (x0 >= cfg.tiles_x) | (y1 < 0) | (y0 >= cfg.tiles_y)
+    )
+    x0 = jnp.clip(x0, 0, cfg.tiles_x - 1)
+    x1 = jnp.clip(x1, 0, cfg.tiles_x - 1)
+    y0 = jnp.clip(y0, 0, cfg.tiles_y - 1)
+    y1 = jnp.clip(y1, 0, cfg.tiles_y - 1)
+
+    keep = proj.mask & ~offscreen
+    count = jnp.where(keep, (x1 - x0 + 1) * (y1 - y0 + 1), 0)
+    return x0, x1, y0, y1, count.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "capacity"), donate_argnums=()
+)
+def bin_gaussians(
+    proj: ProjectedGaussians, cfg: TileConfig, capacity: int
+) -> BinnedInstances:
+    """Build the sorted instance lists. ``capacity`` is the static K_cap."""
+    if proj.mean2d.shape[0] == 0:  # empty scene: all-sentinel instances
+        zero = jnp.zeros((), jnp.int32)
+        return BinnedInstances(
+            feat=jnp.zeros((FEAT_DIM, capacity), jnp.float32),
+            gauss_id=jnp.zeros((capacity,), jnp.int32),
+            tile_id=jnp.full((capacity,), cfg.num_tiles, jnp.int32),
+            starts=jnp.zeros((cfg.num_tiles,), jnp.int32),
+            ends=jnp.zeros((cfg.num_tiles,), jnp.int32),
+            num_instances=zero,
+            overflow=zero,
+        )
+    x0, x1, y0, y1, count = gaussian_tile_span(proj, cfg)
+    span_w = (x1 - x0 + 1).astype(jnp.int32)
+
+    cum = jnp.cumsum(count)                       # inclusive
+    total = cum[-1] if count.shape[0] > 0 else jnp.int32(0)
+
+    inst = jnp.arange(capacity, dtype=jnp.int32)
+    # instance j belongs to gaussian g with cum[g-1] <= j < cum[g]
+    g = jnp.searchsorted(cum, inst, side="right").astype(jnp.int32)
+    g_safe = jnp.minimum(g, count.shape[0] - 1)
+    base = cum[g_safe] - count[g_safe]
+    local = inst - base
+    valid = inst < jnp.minimum(total, capacity)
+
+    tx = x0[g_safe] + local % span_w[g_safe]
+    ty = y0[g_safe] + local // span_w[g_safe]
+    tile = ty * cfg.tiles_x + tx
+    tile = jnp.where(valid, tile, cfg.num_tiles).astype(jnp.int32)
+
+    # Front-to-back: ascending -depth (depth is camera z, negative in front;
+    # nearest has the largest depth). Two stable sorts give tile-major,
+    # depth-minor lexicographic order with exact f32 depths.
+    neg_depth = -proj.depth.astype(jnp.float32)[g_safe]
+    neg_depth = jnp.where(valid, neg_depth, jnp.inf)
+    _, tile_d, gid_d = jax.lax.sort(
+        (neg_depth, tile, g_safe), is_stable=True, num_keys=1
+    )
+    tile_sorted, gid_sorted = jax.lax.sort(
+        (tile_d, gid_d), is_stable=True, num_keys=1
+    )
+
+    tile_range = jnp.arange(cfg.num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_sorted, tile_range, side="left")
+    ends = jnp.searchsorted(tile_sorted, tile_range, side="right")
+
+    feat = features_from_projection(proj).T[:, gid_sorted]
+
+    return BinnedInstances(
+        feat=feat,
+        gauss_id=gid_sorted,
+        tile_id=tile_sorted,
+        starts=starts.astype(jnp.int32),
+        ends=ends.astype(jnp.int32),
+        num_instances=total,
+        overflow=jnp.maximum(total - capacity, 0),
+    )

@@ -127,6 +127,19 @@ def project_gaussians(
       sh / camera_pos: optional SH bands and camera world position for
         view-dependent color.
     """
+    # TPU f32 matmuls default to bf16 MXU passes; viewer parity (1e-3)
+    # needs full f32 for the projective transforms and EWA products.
+    with jax.default_matmul_precision("highest"):
+        return _project_f32(
+            means, cov3d, colors, opacities, modelview, projection,
+            width, height, max_scales, cutout, sh, camera_pos,
+        )
+
+
+def _project_f32(
+    means, cov3d, colors, opacities, modelview, projection,
+    width, height, max_scales, cutout, sh, camera_pos,
+) -> ProjectedGaussians:
     means = jnp.asarray(means, jnp.float32)
     cov3d = jnp.asarray(cov3d, jnp.float32)
     colors = jnp.asarray(colors, jnp.float32)

@@ -1,0 +1,259 @@
+"""Custom VJP for the tiled rasterizer: Pallas backward kernel.
+
+The backward re-walks each tile's instance list chunk-by-chunk in *reverse*
+(the TPU analogue of the CUDA 3DGS back-to-front backward sweep), recomputing
+alphas from the saved features and recovering per-instance transmittance by
+division from the saved final transmittance:
+
+    T_k = T_end / prod_{j >= k} (1 - alpha_j)
+
+Per-pixel gradients (front-to-back over-compositing, C = sum a_i T_i c_i,
+A = 1 - T_final):
+
+    dC/dc_i       = a_i T_i
+    dC/da_i       = T_i c_i - S_i / (1 - a_i),  S_i = sum_{j>i} a_j T_j c_j
+    dT_final/da_i = -T_final / (1 - a_i)
+
+then chained to (mean2d, conic, color, opacity) and reduced over the tile's
+pixels. Each instance belongs to exactly one tile, so per-instance grads land
+disjointly in a (16, K_pad) buffer — written read-modify-write because chunk
+windows are 128-aligned and may straddle a neighbouring tile's rows. The
+transpose of the upstream feature gather (ops/binning.py) scatter-adds them
+back onto gaussians, and jax autodiff continues through projection to the 3D
+parameters — fulfilling the north-star "pixel gradients w.r.t. means,
+covariances/scales, rotations, opacities and colors" (BASELINE.json) that the
+reference viewer lacks entirely (SURVEY.md §2).
+
+Only the chunks the forward actually processed (early termination) are
+re-walked: the forward records chunks_done per tile.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from splatjax.ops.binning import FEAT_DIM, TileConfig
+from splatjax.ops.rasterize import (
+    CHUNK,
+    _chunk_alpha,
+    _lane_iota,
+    _suffix_cumprod_lanes,
+    _suffix_cumsum_lanes,
+    _pixel_grids,
+    _use_interpret,
+    pad_features,
+    rasterize_tiles_fwd,
+)
+
+Array = jax.Array
+
+
+def _bwd_kernel(
+    # scalar prefetch
+    starts_ref, ends_ref, chunks_ref,
+    # inputs
+    feat_hbm, zeros_hbm, g_out_ref, out_saved_ref,
+    # output (aliased with zeros_hbm)
+    g_feat_hbm,
+    # scratch
+    feat_vmem, g_old_vmem, g_new_vmem, sem_feat, sem_old, sem_out,
+    *, cfg: TileConfig, alpha_clip,
+):
+    del zeros_hbm  # aliased storage for g_feat_hbm; only read via the alias
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    end = ends_ref[t]
+    astart = (start // CHUNK) * CHUNK
+    c_done = chunks_ref[t]
+    px, py = _pixel_grids(cfg, t)
+
+    g_r = g_out_ref[0, :, 0:1]          # (P, 1) cotangents
+    g_g = g_out_ref[0, :, 1:2]
+    g_b = g_out_ref[0, :, 2:3]
+    g_tf = g_out_ref[0, :, 3:4]
+    t_final = out_saved_ref[0, :, 3:4]
+
+    def body(i, carry):
+        t_after, s_r, s_g, s_b = carry
+        c = c_done - 1 - i
+        base = astart + c * CHUNK
+        copy_feat = pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(base, CHUNK)], feat_vmem, sem_feat
+        )
+        copy_feat.start()
+        copy_old = pltpu.make_async_copy(
+            g_feat_hbm.at[:, pl.ds(base, CHUNK)], g_old_vmem, sem_old
+        )
+        copy_old.start()
+        copy_feat.wait()
+        chunk = feat_vmem[:]
+        kidx = _lane_iota(CHUNK) + base
+        alpha, dx, dy, power, in_range = _chunk_alpha(
+            chunk, px, py, kidx, start, end, alpha_clip
+        )
+        om = 1.0 - alpha
+        # suffix inclusive cumprod along lanes: Q_k = prod_{j>=k} om_j
+        q = _suffix_cumprod_lanes(om)
+        q_ok = q > 0.0
+        t_k = jnp.where(q_ok, t_after / jnp.where(q_ok, q, 1.0), 0.0)
+
+        col_r = chunk[5:6, :]
+        col_g = chunk[6:7, :]
+        col_b = chunk[7:8, :]
+        contrib_r = alpha * t_k * col_r          # (P, CHUNK)
+        contrib_g = alpha * t_k * col_g
+        contrib_b = alpha * t_k * col_b
+
+        def suffix(x, s_tail):
+            inc = _suffix_cumsum_lanes(x)
+            return inc - x + s_tail, inc[:, 0:1]  # (excl suffix, chunk total)
+
+        sx_r, tot_r = suffix(contrib_r, s_r)
+        sx_g, tot_g = suffix(contrib_g, s_g)
+        sx_b, tot_b = suffix(contrib_b, s_b)
+
+        om_safe = jnp.where(om > 1e-6, om, 1e-6)
+        g_alpha = (
+            g_r * (t_k * col_r - sx_r / om_safe)
+            + g_g * (t_k * col_g - sx_g / om_safe)
+            + g_b * (t_k * col_b - sx_b / om_safe)
+            - g_tf * (t_final / om_safe)
+        )
+        # clip boundary: no grad through min(alpha, clip) when clipped
+        opa = chunk[8:9, :]
+        dexp = jnp.where(
+            in_range & (power >= -4.0), jnp.exp(power), 0.0
+        )  # d alpha / d opacity
+        if alpha_clip is not None:
+            g_alpha = jnp.where(dexp * opa < alpha_clip, g_alpha, 0.0)
+        g_alpha = jnp.where(in_range, g_alpha, 0.0)
+        g_power = g_alpha * alpha                 # d(exp(p)*o)/dp = alpha
+        ca = chunk[2:3, :]
+        cb = chunk[3:4, :]
+        cc = chunk[4:5, :]
+        g_a = jnp.sum(g_power * (-0.5 * dx * dx), axis=0, keepdims=True)
+        g_bq = jnp.sum(g_power * (-dx * dy), axis=0, keepdims=True)
+        g_c = jnp.sum(g_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+        g_mx = jnp.sum(g_power * (ca * dx + cb * dy), axis=0, keepdims=True)
+        g_my = jnp.sum(g_power * (cb * dx + cc * dy), axis=0, keepdims=True)
+        g_opa = jnp.sum(g_alpha * dexp, axis=0, keepdims=True)
+        w = alpha * t_k
+        g_cr = jnp.sum(g_r * w, axis=0, keepdims=True)
+        g_cg = jnp.sum(g_g * w, axis=0, keepdims=True)
+        g_cb = jnp.sum(g_b * w, axis=0, keepdims=True)
+
+        grow = jnp.concatenate(
+            [g_mx, g_my, g_a, g_bq, g_c, g_cr, g_cg, g_cb, g_opa,
+             jnp.zeros((FEAT_DIM - 9, CHUNK), jnp.float32)],
+            axis=0,
+        )
+        # read-modify-write: preserve neighbouring tiles' rows in this
+        # 128-aligned window (sequential grid -> no race)
+        copy_old.wait()
+        g_new_vmem[:] = jnp.where(in_range, grow, g_old_vmem[:])
+        copy_out = pltpu.make_async_copy(
+            g_new_vmem, g_feat_hbm.at[:, pl.ds(base, CHUNK)], sem_out
+        )
+        copy_out.start()
+        copy_out.wait()
+
+        # carry to the previous chunk: T at this chunk's first instance,
+        # suffix sums extended by this whole chunk
+        return (t_k[:, 0:1], s_r + tot_r, s_g + tot_g, s_b + tot_b)
+
+    init = (
+        t_final,
+        jnp.zeros_like(t_final),
+        jnp.zeros_like(t_final),
+        jnp.zeros_like(t_final),
+    )
+    jax.lax.fori_loop(0, c_done, body, init)
+
+
+def _bwd_pallas(
+    feat_pad, starts, ends, chunks_done, out_saved, g_out,
+    cfg: TileConfig, alpha_clip,
+):
+    t_tiles = cfg.num_tiles
+    p = cfg.pixels_per_tile
+    kernel = functools.partial(_bwd_kernel, cfg=cfg, alpha_clip=alpha_clip)
+    zeros = jnp.zeros_like(feat_pad)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # feat
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # zeros->alias
+            pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # g_out
+            pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # saved fwd out (T_final)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((FEAT_DIM, CHUNK), jnp.float32),
+            pltpu.VMEM((FEAT_DIM, CHUNK), jnp.float32),
+            pltpu.VMEM((FEAT_DIM, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    g_feat = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(feat_pad.shape, jnp.float32),
+        input_output_aliases={4: 0},  # zeros input (after 3 scalars) -> out
+        interpret=_use_interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, ends, chunks_done, feat_pad, zeros, g_out, out_saved)
+    return g_feat
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def rasterize_tiles(
+    feat_fm: Array,
+    starts: Array,
+    ends: Array,
+    cfg: TileConfig,
+    alpha_clip: Optional[float] = None,
+    early_stop: float = 1e-4,
+):
+    """Differentiable tiled rasterization.
+
+    feat_fm: (16, K) feature-major sorted instance features.
+    Returns (out_tiles (T, P, 8) [r,g,b,T_final,...], chunks_done (T,)).
+    """
+    return rasterize_tiles_fwd(
+        feat_fm, starts, ends, cfg, alpha_clip=alpha_clip,
+        early_stop=early_stop,
+    )
+
+
+def _fwd_rule(feat_fm, starts, ends, cfg, alpha_clip, early_stop):
+    out = rasterize_tiles_fwd(
+        feat_fm, starts, ends, cfg, alpha_clip=alpha_clip,
+        early_stop=early_stop,
+    )
+    out_tiles, chunks_done = out
+    return out, (feat_fm, starts, ends, out_tiles, chunks_done)
+
+
+def _bwd_rule(cfg, alpha_clip, early_stop, residuals, cotangents):
+    del early_stop
+    feat_fm, starts, ends, out_tiles, chunks_done = residuals
+    g_out, _ = cotangents
+    feat_pad = pad_features(feat_fm)
+    g_feat = _bwd_pallas(
+        feat_pad, starts, ends, chunks_done, out_tiles,
+        g_out.astype(jnp.float32), cfg, alpha_clip,
+    )
+    return g_feat[:, : feat_fm.shape[1]], None, None
+
+
+rasterize_tiles.defvjp(_fwd_rule, _bwd_rule)

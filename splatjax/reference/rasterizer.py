@@ -70,7 +70,8 @@ def composite_pixels(
         axis=-1,
     )
     w = alpha * trans                                   # (P, N)
-    rgb = w @ color                                     # (P, 3)
+    with jax.default_matmul_precision("highest"):
+        rgb = w @ color                                 # (P, 3)
     a_out = 1.0 - jnp.prod(one_minus, axis=-1)
     return jnp.concatenate([rgb, a_out[:, None]], axis=-1)
 

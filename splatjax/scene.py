@@ -145,7 +145,9 @@ def build_covariances(quats: Array, scales: Array) -> Array:
     """
     rot = quat_to_rotmat(quats)
     m = rot * scales[..., None, :]  # R @ diag(s): scale columns
-    return m @ jnp.swapaxes(m, -1, -2)
+    # full f32 (TPU would otherwise run this matmul through bf16 MXU passes)
+    with jax.default_matmul_precision("highest"):
+        return m @ jnp.swapaxes(m, -1, -2)
 
 
 def covariance_upper(covs: Array) -> Array:

@@ -1,0 +1,156 @@
+"""Tiled Pallas pipeline tests: image parity vs ground truth, gradient
+parity vs jax-autodiff of the pure-JAX reference renderer (BASELINE.json
+configs 1-2), binning invariants, overflow/empty-scene edges.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from splatjax.camera import make_camera
+from splatjax.io import synthetic_scene
+from splatjax.ops.binning import TileConfig, bin_gaussians
+from splatjax.ops.projection import project_gaussians
+from splatjax.reference import render_reference
+from splatjax.render import render
+from splatjax.scene import TrainableGaussians, build_covariances
+
+W, H = 80, 64
+
+
+def _scene_cam(n=300, seed=21, w=W, h=H):
+    scene = synthetic_scene(n, seed=seed, extent=0.6, scale_range=(0.02, 0.08))
+    cam = make_camera((0, 0, 2.2), (0, 0, 0), width=w, height=h)
+    return scene, cam
+
+
+def test_tiled_matches_reference_image():
+    scene, cam = _scene_cam()
+    ref = np.asarray(render_reference(scene, cam, pixel_chunk=512))
+    ours = np.asarray(render(scene, cam, early_stop=0.0))
+    assert np.abs(ours - ref).max() < 1e-3  # north-star bound
+
+
+def test_tiled_early_stop_close():
+    scene, cam = _scene_cam(seed=22)
+    exact = np.asarray(render(scene, cam, early_stop=0.0))
+    fast = np.asarray(render(scene, cam, early_stop=1e-4))
+    assert np.abs(exact - fast).max() < 2e-4
+
+
+def test_tiled_non_square_image_and_tiles():
+    scene, cam = _scene_cam(seed=23, w=72, h=40)  # 72 = 4.5 tiles of 16
+    ref = np.asarray(render_reference(scene, cam, pixel_chunk=512))
+    ours = np.asarray(render(scene, cam, early_stop=0.0))
+    assert ours.shape == (40, 72, 4)
+    assert np.abs(ours - ref).max() < 1e-3
+
+
+def test_tiled_viewer_exact_mode():
+    scene, cam = _scene_cam(seed=24)
+    ref = np.asarray(
+        render_reference(scene, cam, viewer_exact=True, pixel_chunk=512)
+    )
+    ours = np.asarray(render(scene, cam, viewer_exact=True, early_stop=0.0))
+    assert np.abs(ours - ref).max() < 1e-3
+
+
+def test_tiled_cutout_matches_reference():
+    scene, cam = _scene_cam(seed=25)
+    box = np.diag([1.0, 1.0, 1.0, 1.0]).astype(np.float32)
+    box[:3, 3] = [0.2, 0.0, 0.1]
+    cutout = jnp.asarray(np.linalg.inv(box).astype(np.float32))
+    ref = np.asarray(
+        render_reference(scene, cam, cutout=cutout, pixel_chunk=512)
+    )
+    ours = np.asarray(render(scene, cam, cutout=cutout, early_stop=0.0))
+    assert np.abs(ours - ref).max() < 1e-3
+
+
+def test_tiled_background_compositing():
+    scene, cam = _scene_cam(seed=26)
+    bg = jnp.asarray([0.1, 0.9, 0.2])
+    with_bg = np.asarray(render(scene, cam, background=bg, early_stop=0.0))
+    no_bg = np.asarray(render(scene, cam, early_stop=0.0))
+    # under-compositing identity: rgb_bg = rgb + (1 - alpha) * bg
+    expect = no_bg[..., :3] + (1.0 - no_bg[..., 3:]) * np.asarray(bg)
+    np.testing.assert_allclose(with_bg[..., :3], expect, atol=1e-6)
+    np.testing.assert_allclose(with_bg[..., 3], no_bg[..., 3], atol=0)
+
+
+def test_gradients_match_reference_autodiff():
+    """Full-chain gradient parity: custom-VJP tiled path vs autodiff of the
+    ground-truth renderer, w.r.t. all 3D scene parameters."""
+    scene, cam = _scene_cam(n=120, seed=27, w=48, h=32)
+    params = TrainableGaussians.from_scene(scene)
+    tgt = jax.random.normal(jax.random.PRNGKey(1), (32, 48, 4))
+
+    def loss_tiled(p):
+        return jnp.sum(render(p.to_scene(), cam, early_stop=0.0) * tgt)
+
+    def loss_ref(p):
+        return jnp.sum(
+            render_reference(p.to_scene(), cam, pixel_chunk=256) * tgt
+        )
+
+    g1 = jax.grad(loss_tiled)(params)
+    g2 = jax.grad(loss_ref)(params)
+    f1, _ = ravel_pytree(g1)
+    f2, _ = ravel_pytree(g2)
+    f1, f2 = np.asarray(f1), np.asarray(f2)
+    assert np.all(np.isfinite(f1))
+    scale = np.abs(f2).max()
+    assert scale > 0
+    np.testing.assert_allclose(f1, f2, atol=2e-3 * scale, rtol=2e-3)
+
+
+def test_binning_invariants():
+    scene, cam = _scene_cam(seed=28)
+    cov3d = build_covariances(scene.quats, scene.scales)
+    proj = project_gaussians(
+        scene.means, cov3d, scene.colors, scene.opacities,
+        cam.modelview, cam.projection, W, H,
+        max_scales=jnp.max(jnp.asarray(scene.scales), axis=-1),
+    )
+    cfg = TileConfig(W, H)
+    b = bin_gaussians(proj, cfg, capacity=4096)
+    starts, ends = np.asarray(b.starts), np.asarray(b.ends)
+    tile_id = np.asarray(b.tile_id)
+    gid = np.asarray(b.gauss_id)
+    depth = np.asarray(proj.depth)
+    total = int(b.num_instances)
+    assert int(b.overflow) == 0
+    # ranges partition [0, total)
+    assert starts[0] == 0 and ends[-1] == total
+    assert np.all(starts <= ends)
+    assert np.all(starts[1:] == ends[:-1])
+    # tile-major, front-to-back (descending camera-z depth) within each tile
+    for t in range(cfg.num_tiles):
+        s, e = starts[t], ends[t]
+        assert np.all(tile_id[s:e] == t)
+        d = depth[gid[s:e]]
+        assert np.all(np.diff(d) <= 1e-12)
+
+
+def test_capacity_overflow_drops_and_reports():
+    scene, cam = _scene_cam(seed=29)
+    img, overflow = render(
+        scene, cam, capacity=256, early_stop=0.0, return_overflow=True
+    )
+    assert int(overflow) > 0
+    assert np.all(np.isfinite(np.asarray(img)))
+
+
+def test_empty_scene_renders_zeros():
+    scene = synthetic_scene(0)
+    cam = make_camera((0, 0, 2.0), (0, 0, 0), width=32, height=32)
+    img = np.asarray(render(scene, cam))
+    assert img.shape == (32, 32, 4)
+    assert np.all(img == 0.0)
+
+
+def test_all_culled_scene():
+    scene, _ = _scene_cam(seed=30)
+    cam = make_camera((0, 0, -3.0), (0, 0, -10.0), width=32, height=32)
+    img = np.asarray(render(scene, cam))
+    assert np.all(img[..., 3] == 0.0)
