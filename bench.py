@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Headline benchmark: tiled differentiable render at 1M splats / 1080p.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <fwd+bwd Mpix/s/chip>, "unit": "Mpix/s",
+   "vs_baseline": <fwd fps / 60>}
+
+vs_baseline references the north-star bar (BASELINE.md): >60 fps-equivalent
+forward per v5e chip at 1M splats @1080p (the reference viewer publishes no
+numbers of its own — BASELINE.json.published is empty).
+
+Environment knobs: SPLATJAX_BENCH_N (splats), SPLATJAX_BENCH_RES ("WxH"),
+SPLATJAX_BENCH_CAP (instance capacity).
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from splatjax.camera import make_camera  # noqa: E402
+from splatjax.io import synthetic_scene  # noqa: E402
+from splatjax.render import render  # noqa: E402
+from splatjax.scene import TrainableGaussians  # noqa: E402
+
+
+def main():
+    n = int(os.environ.get("SPLATJAX_BENCH_N", 1_000_000))
+    res = os.environ.get("SPLATJAX_BENCH_RES", "1920x1080")
+    width, height = (int(v) for v in res.split("x"))
+    capacity = int(os.environ.get("SPLATJAX_BENCH_CAP", 4 * n))
+    iters = int(os.environ.get("SPLATJAX_BENCH_ITERS", 10))
+
+    # scale_range tuned so a 1M scene lands ~3-4 duplicated instances per
+    # splat at 1080p (train.splat-like screen footprints)
+    scene = synthetic_scene(n, seed=7, extent=1.0, scale_range=(0.002, 0.008))
+    cam = make_camera((0, 0, 2.8), (0, 0, 0), width=width, height=height)
+    params = TrainableGaussians.from_scene(scene)
+
+    kwargs = dict(capacity=capacity, alpha_clip=0.999, early_stop=1e-4)
+
+    def fwd(p):
+        return render(p.to_scene(), cam, **kwargs)
+
+    grad_fn = jax.jit(jax.grad(lambda p: jnp.sum(fwd(p) ** 2)))
+    fwd_fn = jax.jit(lambda p: fwd(p))
+
+    img, ov = render(scene, cam, return_overflow=True, **kwargs)
+    jax.block_until_ready(img)
+    overflow = int(ov)
+
+    def timeit(f, *a):
+        jax.block_until_ready(f(*a))  # warm
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(*a))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    t_fwd = timeit(fwd_fn, params)
+    t_fwdbwd = timeit(grad_fn, params)
+
+    mpix = width * height / 1e6
+    fwd_fps = 1.0 / t_fwd
+    value = mpix / t_fwdbwd  # Mpix/s fwd+bwd (the BASELINE.json metric)
+
+    result = {
+        "metric": f"fwd+bwd Mpix/s/chip @{n} splats {width}x{height}",
+        "value": round(value, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(fwd_fps / 60.0, 3),
+        "fwd_ms": round(t_fwd * 1e3, 2),
+        "fwd_bwd_ms": round(t_fwdbwd * 1e3, 2),
+        "fwd_fps": round(fwd_fps, 1),
+        "overflow": overflow,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -148,7 +148,7 @@ def _fwd_kernel(
     # inputs
     feat_hbm,
     # outputs
-    out_ref, chunks_ref,
+    out_ref,
     # scratch
     feat_vmem, sem,
     *, cfg: TileConfig, alpha_clip, early_stop,
@@ -204,8 +204,10 @@ def _fwd_kernel(
     out_ref[0, :, 1:2] = g_acc
     out_ref[0, :, 2:3] = b_acc
     out_ref[0, :, 3:4] = t_vec
-    out_ref[0, :, 4:8] = jnp.zeros((p, 4), jnp.float32)
-    chunks_ref[t, 0] = c_done
+    # chunks-done count rides in spare channel 4 (exact in f32 up to 2^24);
+    # a dedicated per-tile SMEM output would blow the 1MB SMEM budget at 1080p
+    out_ref[0, :, 4:5] = jnp.full((p, 1), 0.0, jnp.float32) + c_done.astype(jnp.float32)
+    out_ref[0, :, 5:8] = jnp.zeros((p, 3), jnp.float32)
 
 
 @functools.partial(
@@ -234,26 +236,20 @@ def rasterize_tiles_fwd(
         num_scalar_prefetch=2,
         grid=(t_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=(
-            pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (T, 1) array
-        ),
+        out_specs=pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((FEAT_DIM, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    out, chunks = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((t_tiles, p, 8), jnp.float32),
-            jax.ShapeDtypeStruct((t_tiles, 1), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((t_tiles, p, 8), jnp.float32),
         interpret=_use_interpret(),
     )(starts, ends, feat_pad)
-    return out, chunks[:, 0]
+    return out, out[:, 0, 4].astype(jnp.int32)
 
 
 def rasterize_tiles_xla(

@@ -1,0 +1,168 @@
+"""Fit-from-scratch training loop: Adam over all Gaussian parameters.
+
+The viewer renders pre-trained assets only; this module adds the training
+capability (BASELINE.json config 4): optimize means / scales / rotations /
+opacities / colors (and SH) against target images through the differentiable
+tiled renderer, with per-parameter learning rates as in standard 3DGS
+practice, structured metrics, and periodic checkpointing.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from splatjax.camera import Camera
+from splatjax.render import default_capacity, render
+from splatjax.scene import GaussianScene, TrainableGaussians
+from splatjax.train.loss import combined_loss, psnr
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    steps: int = 2000
+    lr_means: float = 1.6e-4
+    lr_scales: float = 5e-3
+    lr_quats: float = 1e-3
+    lr_opacities: float = 5e-2
+    lr_colors: float = 2.5e-2
+    lr_sh: float = 1.25e-3
+    ssim_weight: float = 0.2
+    alpha_clip: float = 0.999
+    early_stop: float = 1e-4
+    capacity: Optional[int] = None
+    log_every: int = 100
+
+
+def _optimizer(cfg: FitConfig) -> optax.GradientTransformation:
+    """Per-leaf Adam learning rates (3DGS-style)."""
+    def label(params: TrainableGaussians):
+        return TrainableGaussians(
+            means="means",
+            log_scales="scales",
+            quats="quats",
+            logit_opacities="opacities",
+            colors="colors",
+            sh=None if params.sh is None else "sh",
+        )
+
+    return optax.multi_transform(
+        {
+            "means": optax.adam(cfg.lr_means),
+            "scales": optax.adam(cfg.lr_scales),
+            "quats": optax.adam(cfg.lr_quats),
+            "opacities": optax.adam(cfg.lr_opacities),
+            "colors": optax.adam(cfg.lr_colors),
+            "sh": optax.adam(cfg.lr_sh),
+        },
+        label,
+    )
+
+
+def make_train_step(
+    cameras: Sequence[Camera],
+    cfg: FitConfig,
+    capacity: int,
+) -> Callable:
+    """Build a jitted (params, opt_state, targets, cam_idx) -> ... step.
+
+    All cameras must share (width, height) so one compiled step serves every
+    view (camera matrices are traced arguments, resolution is static).
+    """
+    w, h = cameras[0].width, cameras[0].height
+    opt = _optimizer(cfg)
+
+    def loss_fn(params: TrainableGaussians, modelview, projection, target):
+        cam = Camera(modelview=modelview, projection=projection,
+                     width=w, height=h)
+        img = render(
+            params.to_scene(), cam,
+            capacity=capacity,
+            alpha_clip=cfg.alpha_clip,
+            early_stop=cfg.early_stop,
+        )
+        return combined_loss(img, target, ssim_weight=cfg.ssim_weight), img
+
+    @jax.jit
+    def step(params, opt_state, modelview, projection, target):
+        (loss, img), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, modelview, projection, target
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, psnr(img, target)
+
+    return step, opt
+
+
+def fit(
+    initial: TrainableGaussians | GaussianScene,
+    cameras: Sequence[Camera],
+    targets: Sequence[Array],
+    cfg: FitConfig = FitConfig(),
+    *,
+    checkpoint_fn: Optional[Callable[[int, TrainableGaussians], None]] = None,
+    checkpoint_every: int = 0,
+    log_fn: Callable[[dict], None] = None,
+):
+    """Optimize gaussians to match target images. Returns (params, history).
+
+    targets: (H, W, 3|4) arrays aligned with ``cameras``.
+    """
+    if isinstance(initial, GaussianScene):
+        params = TrainableGaussians.from_scene(initial)
+    else:
+        params = initial
+    capacity = cfg.capacity or default_capacity(params.means.shape[0])
+    step_fn, opt = make_train_step(cameras, cfg, capacity)
+    opt_state = opt.init(params)
+
+    mvs = [c.modelview for c in cameras]
+    projs = [c.projection for c in cameras]
+    targets = [jnp.asarray(t[..., :4], jnp.float32) for t in targets]
+
+    history = []
+    t_start = time.time()
+    for i in range(cfg.steps):
+        vi = i % len(cameras)
+        params, opt_state, loss, p = step_fn(
+            params, opt_state, mvs[vi], projs[vi], targets[vi]
+        )
+        if cfg.log_every and (i % cfg.log_every == 0 or i == cfg.steps - 1):
+            rec = {
+                "step": i,
+                "loss": float(loss),
+                "psnr": float(p),
+                "elapsed_s": time.time() - t_start,
+            }
+            history.append(rec)
+            if log_fn is not None:
+                log_fn(rec)
+        if checkpoint_fn is not None and checkpoint_every and (
+            (i + 1) % checkpoint_every == 0
+        ):
+            checkpoint_fn(i + 1, params)
+    return params, history
+
+
+def init_random(
+    n: int, key: Array, *, extent: float = 1.0, initial_scale: float = 0.02
+) -> TrainableGaussians:
+    """Random initialization for fit-from-scratch."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    means = jax.random.uniform(k1, (n, 3), minval=-extent, maxval=extent)
+    quats = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0, 0.0]]), (n, 1))
+    quats = quats + 0.01 * jax.random.normal(k2, (n, 4))
+    return TrainableGaussians(
+        means=means.astype(jnp.float32),
+        log_scales=jnp.full((n, 3), jnp.log(initial_scale), jnp.float32),
+        quats=quats.astype(jnp.float32),
+        logit_opacities=jnp.full((n,), -1.0, jnp.float32),
+        colors=jax.random.normal(k3, (n, 3)).astype(jnp.float32) * 0.3,
+    )

@@ -1,0 +1,78 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh (SURVEY.md §4 item 4):
+band-sharded rendering matches the single-chip pipeline, and gradients
+(all_gather transpose -> psum of splat grads) match single-chip autodiff.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from splatjax.camera import make_camera
+from splatjax.io import synthetic_scene
+from splatjax.parallel import make_mesh, render_sharded
+from splatjax.render import render
+from splatjax.scene import TrainableGaussians
+
+W, H = 64, 48
+
+
+def _setup(n=256, seed=60):
+    scene = synthetic_scene(n, seed=seed, extent=0.6, scale_range=(0.02, 0.08))
+    cam = make_camera((0, 0, 2.2), (0, 0, 0), width=W, height=H)
+    return scene, cam
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_render_matches_single_chip():
+    scene, cam = _setup()
+    mesh = make_mesh(8)
+    img_s = np.asarray(render_sharded(scene, cam, mesh, early_stop=0.0))
+    img_1 = np.asarray(render(scene, cam, early_stop=0.0))
+    assert img_s.shape == img_1.shape
+    np.testing.assert_allclose(img_s, img_1, atol=1e-5)
+
+
+def test_sharded_render_two_devices():
+    scene, cam = _setup(seed=61)
+    mesh = make_mesh(2)
+    img_s = np.asarray(render_sharded(scene, cam, mesh, early_stop=0.0))
+    img_1 = np.asarray(render(scene, cam, early_stop=0.0))
+    np.testing.assert_allclose(img_s, img_1, atol=1e-5)
+
+
+def test_sharded_gradients_match_single_chip():
+    scene, cam = _setup(n=128, seed=62)
+    mesh = make_mesh(4)
+    params = TrainableGaussians.from_scene(scene)
+    tgt = jax.random.normal(jax.random.PRNGKey(5), (H, W, 4))
+
+    def loss_sharded(p):
+        return jnp.sum(
+            render_sharded(p.to_scene(), cam, mesh, early_stop=0.0) * tgt
+        )
+
+    def loss_single(p):
+        return jnp.sum(render(p.to_scene(), cam, early_stop=0.0) * tgt)
+
+    g_s = jax.grad(loss_sharded)(params)
+    g_1 = jax.grad(loss_single)(params)
+    f_s, _ = ravel_pytree(g_s)
+    f_1, _ = ravel_pytree(g_1)
+    f_s, f_1 = np.asarray(f_s), np.asarray(f_1)
+    assert np.all(np.isfinite(f_s))
+    scale = np.abs(f_1).max()
+    np.testing.assert_allclose(f_s, f_1, atol=2e-3 * scale, rtol=2e-3)
+
+
+def test_sharded_render_uneven_height():
+    """Height that does not divide into 8 equal tile bands gets padded."""
+    scene, _ = _setup(seed=63)
+    cam = make_camera((0, 0, 2.2), (0, 0, 0), width=W, height=40)
+    mesh = make_mesh(8)
+    img_s = np.asarray(render_sharded(scene, cam, mesh, early_stop=0.0))
+    img_1 = np.asarray(render(scene, cam, early_stop=0.0))
+    assert img_s.shape == (40, W, 4)
+    np.testing.assert_allclose(img_s, img_1, atol=1e-5)
