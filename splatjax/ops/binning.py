@@ -122,12 +122,23 @@ def gaussian_tile_span(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "capacity"), donate_argnums=()
+    jax.jit,
+    static_argnames=("cfg", "capacity", "exact_depth_sort"),
+    donate_argnums=(),
 )
 def bin_gaussians(
-    proj: ProjectedGaussians, cfg: TileConfig, capacity: int
+    proj: ProjectedGaussians,
+    cfg: TileConfig,
+    capacity: int,
+    exact_depth_sort: bool = False,
 ) -> BinnedInstances:
-    """Build the sorted instance lists. ``capacity`` is the static K_cap."""
+    """Build the sorted instance lists. ``capacity`` is the static K_cap.
+
+    exact_depth_sort=True forces exact f32 depth ordering via two stable
+    sorts (for bit-exact golden tests); the default packs tile+quantized
+    depth into one key, with more depth resolution than the reference
+    viewer's own 16-bit counting sort.
+    """
     if proj.mean2d.shape[0] == 0:  # empty scene: all-sentinel instances
         zero = jnp.zeros((), jnp.int32)
         return BinnedInstances(
@@ -146,29 +157,77 @@ def bin_gaussians(
     total = cum[-1] if count.shape[0] > 0 else jnp.int32(0)
 
     inst = jnp.arange(capacity, dtype=jnp.int32)
-    # instance j belongs to gaussian g with cum[g-1] <= j < cum[g]
-    g = jnp.searchsorted(cum, inst, side="right").astype(jnp.int32)
+    # instance j belongs to gaussian g with cum[g-1] <= j < cum[g], i.e.
+    # g(j) = #{i : cum[i] <= j}. Because the queries are exactly arange(CAP),
+    # this searchsorted collapses to a histogram + cumsum — a single
+    # scatter-add (~5 ms at 2M on v5e) instead of a 20-step binary-search
+    # scan (~300 ms) or a sort-based merge (~35 ms).
+    hist = jnp.zeros((capacity + 1,), jnp.int32).at[
+        jnp.clip(cum, 0, capacity)
+    ].add(1, mode="drop")
+    g = jnp.cumsum(hist[:capacity]).astype(jnp.int32)
     g_safe = jnp.minimum(g, count.shape[0] - 1)
-    base = cum[g_safe] - count[g_safe]
+
+    # TPU gathers pay per ROW, not per byte: gather the five per-gaussian
+    # values needed below as ONE packed (N, 5) int32 table (depth bitcast)
+    # instead of five separate K-sized gathers.
+    table = jnp.stack(
+        [
+            x0, y0, span_w,
+            cum - count,  # base offset of each gaussian's run
+            jax.lax.bitcast_convert_type(
+                -proj.depth.astype(jnp.float32), jnp.int32
+            ),
+        ],
+        axis=-1,
+    )
+    rows = table[g_safe]                          # (capacity, 5)
+    base = rows[:, 3]
     local = inst - base
     valid = inst < jnp.minimum(total, capacity)
 
-    tx = x0[g_safe] + local % span_w[g_safe]
-    ty = y0[g_safe] + local // span_w[g_safe]
+    tx = rows[:, 0] + local % rows[:, 2]
+    ty = rows[:, 1] + local // rows[:, 2]
     tile = ty * cfg.tiles_x + tx
     tile = jnp.where(valid, tile, cfg.num_tiles).astype(jnp.int32)
 
     # Front-to-back: ascending -depth (depth is camera z, negative in front;
-    # nearest has the largest depth). Two stable sorts give tile-major,
-    # depth-minor lexicographic order with exact f32 depths.
-    neg_depth = -proj.depth.astype(jnp.float32)[g_safe]
+    # nearest has the largest depth).
+    neg_depth = jax.lax.bitcast_convert_type(rows[:, 4], jnp.float32)
     neg_depth = jnp.where(valid, neg_depth, jnp.inf)
-    _, tile_d, gid_d = jax.lax.sort(
-        (neg_depth, tile, g_safe), is_stable=True, num_keys=1
-    )
-    tile_sorted, gid_sorted = jax.lax.sort(
-        (tile_d, gid_d), is_stable=True, num_keys=1
-    )
+
+    # <= 23 so 2^depth_bits - 1 is exactly representable in f32 (the bucket
+    # is computed in f32; at 24+ bits the clip bound rounds UP and the
+    # bucket spills into the next tile's key range)
+    depth_bits = min(31 - max((cfg.num_tiles + 1).bit_length(), 1), 23)
+    if exact_depth_sort or depth_bits < 14:
+        # two stable sorts: tile-major, exact-f32-depth-minor order
+        _, tile_d, gid_d = jax.lax.sort(
+            (neg_depth, tile, g_safe), is_stable=True, num_keys=1
+        )
+        tile_sorted, gid_sorted = jax.lax.sort(
+            (tile_d, gid_d), is_stable=True, num_keys=1
+        )
+    else:
+        # single sort on a packed (tile << depth_bits | bucket) key. The
+        # depth quantization (>= 2^14 buckets; 2^17 at 1080p) is strictly
+        # finer than the reference worker's 2^16-bucket counting sort
+        # (index.js:557-567), and one 2M-element sort is ~2x cheaper than
+        # two on TPU.
+        nd_valid = jnp.where(
+            proj.mask, -proj.depth.astype(jnp.float32), jnp.nan
+        )
+        dmin = jnp.nanmin(nd_valid)
+        dmax = jnp.nanmax(nd_valid)
+        inv = (2.0 ** depth_bits - 1.0) / jnp.maximum(dmax - dmin, 1e-20)
+        bucket = jnp.clip(
+            ((neg_depth - dmin) * inv), 0.0, 2.0 ** depth_bits - 1.0
+        ).astype(jnp.int32)
+        key = tile * (1 << depth_bits) + jnp.where(valid, bucket, 0)
+        key_sorted, gid_sorted = jax.lax.sort(
+            (key, g_safe), is_stable=True, num_keys=1
+        )
+        tile_sorted = key_sorted >> depth_bits
 
     tile_range = jnp.arange(cfg.num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_sorted, tile_range, side="left")

@@ -127,13 +127,10 @@ def project_gaussians(
       sh / camera_pos: optional SH bands and camera world position for
         view-dependent color.
     """
-    # TPU f32 matmuls default to bf16 MXU passes; viewer parity (1e-3)
-    # needs full f32 for the projective transforms and EWA products.
-    with jax.default_matmul_precision("highest"):
-        return _project_f32(
-            means, cov3d, colors, opacities, modelview, projection,
-            width, height, max_scales, cutout, sh, camera_pos,
-        )
+    return _project_f32(
+        means, cov3d, colors, opacities, modelview, projection,
+        width, height, max_scales, cutout, sh, camera_pos,
+    )
 
 
 def _project_f32(
@@ -148,9 +145,25 @@ def _project_f32(
     proj = jnp.asarray(projection, jnp.float32)
     focal = (height / 2.0) * jnp.abs(proj[1, 1])  # index.js:191
 
-    cam = means @ mv[:3, :3].T + mv[:3, 3]           # (N, 3) camera space
-    pos2d = cam @ proj[:3, :3].T + proj[:3, 3]        # clip xyz
-    w_clip = cam @ proj[3, :3] + proj[3, 3]           # clip w
+    # All transforms written elementwise: exact f32 on the VPU (TPU f32
+    # matmuls default to bf16 MXU passes, which breaks 1e-3 viewer parity,
+    # and batched tiny matmuls are slow there anyway).
+    cam = (
+        means[:, 0:1] * mv[None, :3, 0]
+        + means[:, 1:2] * mv[None, :3, 1]
+        + means[:, 2:3] * mv[None, :3, 2]
+        + mv[None, :3, 3]
+    )                                                 # (N, 3) camera space
+    pos2d = (
+        cam[:, 0:1] * proj[None, :3, 0]
+        + cam[:, 1:2] * proj[None, :3, 1]
+        + cam[:, 2:3] * proj[None, :3, 2]
+        + proj[None, :3, 3]
+    )                                                 # clip xyz
+    w_clip = (
+        cam[:, 0] * proj[3, 0] + cam[:, 1] * proj[3, 1]
+        + cam[:, 2] * proj[3, 2] + proj[3, 3]
+    )                                                 # clip w
 
     bounds = FRUSTUM_GUARD * w_clip
     in_frustum = (
@@ -163,23 +176,20 @@ def _project_f32(
     safe_z = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
     fz = focal / safe_z
     fz2 = focal / (safe_z * safe_z)
-    zeros = jnp.zeros_like(fz)
-    # J exactly as the shader's column-major mat3 (index.js:127-131):
-    # columns (f/z, 0, -fx/z^2), (0, -f/z, fy/z^2), (0, 0, 0).
-    j_mat = jnp.stack(
-        [
-            jnp.stack([fz, zeros, zeros], axis=-1),
-            jnp.stack([zeros, -fz, zeros], axis=-1),
-            jnp.stack([-x * fz2, y * fz2, zeros], axis=-1),
-        ],
-        axis=-2,
-    )  # (N, 3, 3) rows
-    t_mat = mv[:3, :3].T @ j_mat                       # W * J, index.js:133-134
-    cov2d_full = jnp.swapaxes(t_mat, -1, -2) @ cov3d @ t_mat  # index.js:135
-
-    a = cov2d_full[:, 0, 0] + 0.3                      # index.js:139-141
-    b = cov2d_full[:, 0, 1]
-    c = cov2d_full[:, 1, 1] + 0.3
+    # J as the shader's column-major mat3 (index.js:127-131) has only two
+    # nonzero columns: col0 = (f/z, 0, -f x/z^2), col1 = (0, -f/z, f y/z^2).
+    # With W = mat3(MV)^T (index.js:133), T = W J collapses to two (N, 3)
+    # column vectors t0, t1 built from rows of MV:
+    #   t0 = (f/z) mv_row0 - (f x/z^2) mv_row2
+    #   t1 = -(f/z) mv_row1 + (f y/z^2) mv_row2
+    t0 = fz[:, None] * mv[None, 0, :3] - (x * fz2)[:, None] * mv[None, 2, :3]
+    t1 = -fz[:, None] * mv[None, 1, :3] + (y * fz2)[:, None] * mv[None, 2, :3]
+    # cov2d = T^T Vrk T entries via u_i = Sigma t_i (index.js:135)
+    u0 = jnp.sum(cov3d * t0[:, None, :], axis=-1)      # (N, 3)
+    u1 = jnp.sum(cov3d * t1[:, None, :], axis=-1)
+    a = jnp.sum(t0 * u0, axis=-1) + 0.3                # index.js:139-141
+    b = jnp.sum(t1 * u0, axis=-1)
+    c = jnp.sum(t1 * u1, axis=-1) + 0.3
 
     mid = 0.5 * (a + c)
     radius = jnp.sqrt(jnp.square((a - c) / 2.0) + jnp.square(b))
@@ -245,8 +255,16 @@ def _project_f32(
 
     if cutout is not None:
         p = means * jnp.array([1.0, -1.0, 1.0], dtype=jnp.float32)  # :533
-        h = p @ cutout[:3, :3].T + cutout[:3, 3]
-        hw = p @ cutout[3, :3] + cutout[3, 3]
+        h = (
+            p[:, 0:1] * cutout[None, :3, 0]
+            + p[:, 1:2] * cutout[None, :3, 1]
+            + p[:, 2:3] * cutout[None, :3, 2]
+            + cutout[None, :3, 3]
+        )
+        hw = (
+            p[:, 0] * cutout[3, 0] + p[:, 1] * cutout[3, 1]
+            + p[:, 2] * cutout[3, 2] + cutout[3, 3]
+        )
         q = h / jnp.where(jnp.abs(hw) < 1e-12, 1e-12, hw)[:, None]
         inside = jnp.all((q >= -0.5) & (q <= 0.5), axis=-1)  # :537-540
         mask = mask & inside

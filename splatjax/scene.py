@@ -145,9 +145,11 @@ def build_covariances(quats: Array, scales: Array) -> Array:
     """
     rot = quat_to_rotmat(quats)
     m = rot * scales[..., None, :]  # R @ diag(s): scale columns
-    # full f32 (TPU would otherwise run this matmul through bf16 MXU passes)
-    with jax.default_matmul_precision("highest"):
-        return m @ jnp.swapaxes(m, -1, -2)
+    # Elementwise m @ m^T: exact f32 on the VPU. Batched (N,3,3) matmuls on
+    # TPU would go through bf16 MXU passes (breaking 1e-3 viewer parity) and
+    # are slow for tiny matrices anyway.
+    prods = m[..., :, None, :] * m[..., None, :, :]  # (N, 3, 3, 3)
+    return jnp.sum(prods, axis=-1)
 
 
 def covariance_upper(covs: Array) -> Array:
