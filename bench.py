@@ -45,7 +45,9 @@ def main():
     # splat at 1080p (train.splat-like screen footprints)
     scene = synthetic_scene(n, seed=7, extent=1.0, scale_range=(0.002, 0.008))
     cam = make_camera((0, 0, 2.8), (0, 0, 0), width=width, height=height)
-    params = TrainableGaussians.from_scene(scene)
+    # device_put: passthrough leaves (means, quats) would otherwise stay
+    # NumPy and be re-uploaded on every call (~28 MB/frame over the tunnel)
+    params = jax.device_put(TrainableGaussians.from_scene(scene))
 
     kwargs = dict(capacity=capacity, alpha_clip=0.999, early_stop=1e-4)
 
@@ -59,14 +61,29 @@ def main():
     jax.block_until_ready(img)
     overflow = int(ov)
 
+    def _sync(x):
+        # On the axon tunnel backend block_until_ready returns before the
+        # device finishes; a scalar readback is the only reliable fence.
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        return float(jnp.ravel(leaf)[0])
+
+    # measure the host<->device round-trip so it can be subtracted
+    tiny = jax.jit(lambda x: x + 1.0)
+    t = jax.device_put(jnp.zeros((8, 128)))
+    _sync(tiny(t))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _sync(tiny(t))
+    rtt = (time.perf_counter() - t0) / 5
+
     def timeit(f, *a):
-        jax.block_until_ready(f(*a))  # warm
+        _sync(f(*a))  # warm
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(*a))
-            times.append(time.perf_counter() - t0)
-        return float(np.median(times))
+            _sync(f(*a))
+            times.append(time.perf_counter() - t0 - rtt)
+        return max(float(np.median(times)), 1e-6)
 
     t_fwd = timeit(fwd_fn, params)
     t_fwdbwd = timeit(grad_fn, params)

@@ -161,16 +161,26 @@ def _fwd_kernel(
     n_chunks = pl.cdiv(end - astart, CHUNK)
     px, py = _pixel_grids(cfg, t)
 
-    def body(state):
-        c, t_vec, r_acc, g_acc, b_acc = state
-        copy = pltpu.make_async_copy(
+    def dma(slot, c):
+        return pltpu.make_async_copy(
             feat_hbm.at[:, pl.ds(astart + c * CHUNK, CHUNK)],
-            feat_vmem,
-            sem,
+            feat_vmem.at[slot],
+            sem.at[slot],
         )
-        copy.start()
-        copy.wait()
-        chunk = feat_vmem[:]
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(state):
+        c, t_vec, acc = state
+
+        @pl.when(c + 1 < n_chunks)  # double buffering: prefetch next chunk
+        def _():
+            dma((c + 1) % 2, c + 1).start()
+
+        dma(c % 2, c).wait()
+        chunk = feat_vmem[c % 2]
         kidx = _lane_iota(CHUNK) + (astart + c * CHUNK)
         alpha, _, _, _, _ = _chunk_alpha(
             chunk, px, py, kidx, start, end, alpha_clip
@@ -181,11 +191,18 @@ def _fwd_kernel(
         col0 = _lane_iota(CHUNK) == 0
         t_excl = jnp.where(col0, 1.0, rolled)             # exclusive cumprod
         w = alpha * t_excl * t_vec                        # (P, CHUNK)
-        r_acc = r_acc + jnp.sum(w * chunk[5:6, :], axis=1, keepdims=True)
-        g_acc = g_acc + jnp.sum(w * chunk[6:7, :], axis=1, keepdims=True)
-        b_acc = b_acc + jnp.sum(w * chunk[7:8, :], axis=1, keepdims=True)
+        # rgb accumulation as ONE small MXU pass instead of three VPU
+        # lane-tree reductions: (P, K) @ (K, 4)
+        colmat = jnp.concatenate(
+            [chunk[5:8, :], jnp.zeros((1, CHUNK), jnp.float32)], axis=0
+        )
+        acc = acc + jax.lax.dot_general(
+            w, colmat, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,  # full f32: parity at 1e-3
+            preferred_element_type=jnp.float32,
+        )                                                 # (P, 4)
         t_vec = t_vec * cum[:, CHUNK - 1:CHUNK]
-        return c + 1, t_vec, r_acc, g_acc, b_acc
+        return c + 1, t_vec, acc
 
     def cond(state):
         c, t_vec = state[0], state[1]
@@ -194,15 +211,17 @@ def _fwd_kernel(
     init = (
         jnp.int32(0),
         jnp.ones((p, 1), jnp.float32),
-        jnp.zeros((p, 1), jnp.float32),
-        jnp.zeros((p, 1), jnp.float32),
-        jnp.zeros((p, 1), jnp.float32),
+        jnp.zeros((p, 4), jnp.float32),
     )
-    c_done, t_vec, r_acc, g_acc, b_acc = jax.lax.while_loop(cond, body, init)
+    c_done, t_vec, acc = jax.lax.while_loop(cond, body, init)
 
-    out_ref[0, :, 0:1] = r_acc
-    out_ref[0, :, 1:2] = g_acc
-    out_ref[0, :, 2:3] = b_acc
+    # drain the in-flight prefetch if the loop early-stopped, so the next
+    # grid step's semaphore state is clean
+    @pl.when(jnp.logical_and(c_done > 0, c_done < n_chunks))
+    def _():
+        dma(c_done % 2, c_done).wait()
+
+    out_ref[0, :, 0:3] = acc[:, 0:3]
     out_ref[0, :, 3:4] = t_vec
     # chunks-done count rides in spare channel 4 (exact in f32 up to 2^24);
     # a dedicated per-tile SMEM output would blow the 1MB SMEM budget at 1080p
@@ -239,8 +258,8 @@ def rasterize_tiles_fwd(
         out_specs=pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((FEAT_DIM, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, FEAT_DIM, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
