@@ -137,9 +137,23 @@ def parse_ply_bytes(
     )
 
 
-def load_ply(path: Union[str, os.PathLike], **kw) -> GaussianScene:
+def load_ply(
+    path: Union[str, os.PathLike], backend: str = "auto", **kw
+) -> GaussianScene:
+    """Load a 3DGS .ply. backend: "auto" uses the native (C++) converter
+    when built (tests/test_native_io.py verify identical output)."""
     with open(path, "rb") as f:
-        return parse_ply_bytes(f.read(), **kw)
+        data = f.read()
+    if backend in ("auto", "native"):
+        from splatjax.io import native
+
+        if native.available() or (
+            backend == "native" and native.ensure_built()
+        ):
+            return native.parse_ply_bytes_native(data, **kw)
+        if backend == "native":
+            raise RuntimeError("native ingestion library unavailable")
+    return parse_ply_bytes(data, **kw)
 
 
 def save_ply(path: Union[str, os.PathLike], scene: GaussianScene) -> None:

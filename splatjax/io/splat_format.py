@@ -55,9 +55,23 @@ def parse_splat_bytes(data: bytes) -> GaussianScene:
     )
 
 
-def load_splat(path: Union[str, os.PathLike]) -> GaussianScene:
+def load_splat(
+    path: Union[str, os.PathLike], backend: str = "auto"
+) -> GaussianScene:
+    """Load a .splat file. backend: "auto" uses the native (C++) parser
+    when built (bit-identical; tests/test_native_io.py), else NumPy."""
     with open(path, "rb") as f:
-        return parse_splat_bytes(f.read())
+        data = f.read()
+    if backend in ("auto", "native"):
+        from splatjax.io import native
+
+        if native.available() or (
+            backend == "native" and native.ensure_built()
+        ):
+            return native.parse_splat_bytes_native(data)
+        if backend == "native":
+            raise RuntimeError("native ingestion library unavailable")
+    return parse_splat_bytes(data)
 
 
 def scene_to_splat_bytes(scene: GaussianScene) -> bytes:
