@@ -38,7 +38,7 @@ def main():
     n = int(os.environ.get("SPLATJAX_BENCH_N", 1_000_000))
     res = os.environ.get("SPLATJAX_BENCH_RES", "1920x1080")
     width, height = (int(v) for v in res.split("x"))
-    capacity = int(os.environ.get("SPLATJAX_BENCH_CAP", 4 * n))
+    capacity = int(os.environ.get("SPLATJAX_BENCH_CAP", 3 * n))
     iters = int(os.environ.get("SPLATJAX_BENCH_ITERS", 10))
 
     # scale_range tuned so a 1M scene lands ~3-4 duplicated instances per

@@ -106,6 +106,26 @@ def _gather_features_fwd(feat_n, gid):
     return gather_features(feat_n, gid), (gid, feat_n.shape[0])
 
 
+def _blocked_cumsum(x: Array, block: int = 128) -> Array:
+    """Inclusive cumsum along axis 0 of (K, C), K % block == 0.
+
+    One batched triangular matmul on the MXU per block + a tiny cross-block
+    prefix — instead of XLA's log2(K)-pass scan, whose 8x lane padding at
+    C=16 makes it the dominant cost of the gradient scatter path.
+    """
+    k, c = x.shape
+    xb = x.reshape(k // block, block, c)
+    tri = jnp.tril(jnp.ones((block, block), x.dtype))
+    inner = jax.lax.dot_general(
+        tri, xb, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).transpose(1, 0, 2)                                 # (B, block, C)
+    block_tot = inner[:, -1, :]
+    prefix = jnp.cumsum(block_tot, axis=0) - block_tot   # exclusive (B, C)
+    return (inner + prefix[:, None, :]).reshape(k, c)
+
+
 def _gather_features_bwd(res, g):
     gid, n = res
     k = gid.shape[0]
@@ -115,7 +135,9 @@ def _gather_features_bwd(res, g):
     )
     gs = gt[order]                                       # (K, 16) by gaussian
     mu = jnp.mean(gs, axis=0, keepdims=True)
-    cs = jnp.cumsum(gs - mu, axis=0)
+    pad = (-k) % 128
+    xs = jnp.pad(gs - mu, ((0, pad), (0, 0)))
+    cs = _blocked_cumsum(xs)[:k]
     ce = jnp.concatenate([jnp.zeros((1, gs.shape[1]), gs.dtype), cs], axis=0)
     hist = jnp.zeros((n + 1,), jnp.int32).at[jnp.clip(ii, 0, n)].add(
         1, mode="drop"

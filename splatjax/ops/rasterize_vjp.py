@@ -78,20 +78,49 @@ def _bwd_kernel(
     g_tf = g_out_ref[0, :, 3:4]
     t_final = out_saved_ref[0, :, 3:4]
 
+    # Walk chunks in reverse: iteration i handles chunk c = c_done-1-i.
+    # Everything is double-buffered on slot = i % 2: feature reads, the
+    # read-modify-write old-grad reads, and the grad writes (whose windows
+    # are pairwise disjoint within a tile, and cross-tile sharing is
+    # serialized by the sequential grid).
+    def base_of(i):
+        return astart + (c_done - 1 - i) * CHUNK
+
+    def feat_dma(i):
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(base_of(i), CHUNK)],
+            feat_vmem.at[i % 2], sem_feat.at[i % 2],
+        )
+
+    def gold_dma(i):
+        return pltpu.make_async_copy(
+            g_feat_hbm.at[:, pl.ds(base_of(i), CHUNK)],
+            g_old_vmem.at[i % 2], sem_old.at[i % 2],
+        )
+
+    def gout_dma(i):
+        return pltpu.make_async_copy(
+            g_new_vmem.at[i % 2],
+            g_feat_hbm.at[:, pl.ds(base_of(i), CHUNK)],
+            sem_out.at[i % 2],
+        )
+
+    @pl.when(c_done > 0)
+    def _():
+        feat_dma(0).start()
+        gold_dma(0).start()
+
     def body(i, carry):
         t_after, s_r, s_g, s_b = carry
-        c = c_done - 1 - i
-        base = astart + c * CHUNK
-        copy_feat = pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(base, CHUNK)], feat_vmem, sem_feat
-        )
-        copy_feat.start()
-        copy_old = pltpu.make_async_copy(
-            g_feat_hbm.at[:, pl.ds(base, CHUNK)], g_old_vmem, sem_old
-        )
-        copy_old.start()
-        copy_feat.wait()
-        chunk = feat_vmem[:]
+        base = base_of(i)
+
+        @pl.when(i + 1 < c_done)
+        def _():
+            feat_dma(i + 1).start()
+            gold_dma(i + 1).start()
+
+        feat_dma(i).wait()
+        chunk = feat_vmem[i % 2]
         kidx = _lane_iota(CHUNK) + base
         alpha, dx, dy, power, in_range = _chunk_alpha(
             chunk, px, py, kidx, start, end, alpha_clip
@@ -152,15 +181,18 @@ def _bwd_kernel(
              jnp.zeros((FEAT_DIM - 9, CHUNK), jnp.float32)],
             axis=0,
         )
+        # wait for the write issued two iterations ago before reusing its
+        # buffer slot
+        @pl.when(i >= 2)
+        def _():
+            gout_dma(i - 2).wait()
+
         # read-modify-write: preserve neighbouring tiles' rows in this
-        # 128-aligned window (sequential grid -> no race)
-        copy_old.wait()
-        g_new_vmem[:] = jnp.where(in_range, grow, g_old_vmem[:])
-        copy_out = pltpu.make_async_copy(
-            g_new_vmem, g_feat_hbm.at[:, pl.ds(base, CHUNK)], sem_out
-        )
-        copy_out.start()
-        copy_out.wait()
+        # 128-aligned window (windows within a tile are disjoint; the
+        # sequential grid serializes the shared cross-tile block)
+        gold_dma(i).wait()
+        g_new_vmem[i % 2] = jnp.where(in_range, grow, g_old_vmem[i % 2])
+        gout_dma(i).start()
 
         # carry to the previous chunk: T at this chunk's first instance,
         # suffix sums extended by this whole chunk
@@ -173,6 +205,15 @@ def _bwd_kernel(
         jnp.zeros_like(t_final),
     )
     jax.lax.fori_loop(0, c_done, body, init)
+
+    # drain the last (up to two) outstanding grad writes
+    @pl.when(c_done >= 2)
+    def _():
+        gout_dma(c_done - 2).wait()
+
+    @pl.when(c_done >= 1)
+    def _():
+        gout_dma(c_done - 1).wait()
 
 
 def _bwd_pallas(
@@ -196,12 +237,12 @@ def _bwd_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((FEAT_DIM, CHUNK), jnp.float32),
-            pltpu.VMEM((FEAT_DIM, CHUNK), jnp.float32),
-            pltpu.VMEM((FEAT_DIM, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, FEAT_DIM, CHUNK), jnp.float32),
+            pltpu.VMEM((2, FEAT_DIM, CHUNK), jnp.float32),
+            pltpu.VMEM((2, FEAT_DIM, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     g_feat = pl.pallas_call(

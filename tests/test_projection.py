@@ -110,13 +110,16 @@ def test_projection_matches_vertex_shader():
             uv = np.linalg.solve(m, d)
             power_ref = -(uv[0] ** 2 + uv[1] ** 2)
             np.testing.assert_allclose(power_ours, power_ref, rtol=1e-3, atol=1e-5)
-        # bbox must cover the quad corners
+        # bbox must cover the full rendered support: sample the quad's
+        # fragment lattice; any point with alpha > 0 (power >= -4,
+        # index.js:172) must fall inside the bbox
         bb = np.asarray(proj.bbox_half[i])
-        for su in (-2, 2):
-            for sv in (-2, 2):
-                corner = su * v2 + sv * v1
-                assert abs(corner[0]) <= bb[0] + 1e-3
-                assert abs(corner[1]) <= bb[1] + 1e-3
+        for su in np.linspace(-2, 2, 9):
+            for sv in np.linspace(-2, 2, 9):
+                d = su * v2 + sv * v1
+                if su * su + sv * sv <= 4.0:  # inside exp(-4) support
+                    assert abs(d[0]) <= bb[0] + 1e-3
+                    assert abs(d[1]) <= bb[1] + 1e-3
     assert n_checked >= 20  # scene must actually exercise the math
 
 
