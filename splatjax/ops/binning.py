@@ -89,21 +89,28 @@ def features_from_projection(proj: ProjectedGaussians) -> Array:
 
 
 @jax.custom_vjp
-def gather_features(feat_n: Array, gid: Array) -> Array:
+def gather_features(feat_n: Array, gid: Array, cum: Array, count: Array) -> Array:
     """(N, 16) features + (K,) ids -> (16, K) feature-major gathered rows.
 
     Forward is a plain row gather. The backward replaces XLA's scatter-add
     (~400 ms for 4M rows on v5e) with sort + mean-shifted cumsum segment
-    sums (~130 ms): subtracting the per-channel mean before the cumsum turns
+    sums: subtracting the per-channel mean before the cumsum turns
     worst-case same-sign prefixes into a random walk, bounding the
     cancellation error of the prefix-difference trick at ~eps * sqrt(K)
     instead of eps * K.
+
+    ``cum``/``count`` are the binning expansion's per-gaussian inclusive
+    instance cumsum and counts (non-differentiable). Re-sorting the K
+    instances by gid groups them per gaussian in exactly the runs
+    [cum[g-1], min(cum[g], K)) — reusing them saves the backward a 22 ms
+    histogram scatter-add + an extra segment-boundary gather on v5e.
     """
+    del cum, count
     return feat_n[gid].T
 
 
-def _gather_features_fwd(feat_n, gid):
-    return gather_features(feat_n, gid), (gid, feat_n.shape[0])
+def _gather_features_fwd(feat_n, gid, cum, count):
+    return gather_features(feat_n, gid, cum, count), (gid, cum, count)
 
 
 def _blocked_cumsum(x: Array, block: int = 128) -> Array:
@@ -127,11 +134,11 @@ def _blocked_cumsum(x: Array, block: int = 128) -> Array:
 
 
 def _gather_features_bwd(res, g):
-    gid, n = res
+    gid, cum, count = res
     k = gid.shape[0]
     gt = g.T                                             # (K, 16)
-    ii, order = jax.lax.sort(
-        (gid, jnp.arange(k, dtype=jnp.int32)), is_stable=False, num_keys=1
+    _, order = jax.lax.sort(
+        (gid, jnp.arange(k, dtype=jnp.int32)), is_stable=True, num_keys=1
     )
     gs = gt[order]                                       # (K, 16) by gaussian
     mu = jnp.mean(gs, axis=0, keepdims=True)
@@ -139,15 +146,14 @@ def _gather_features_bwd(res, g):
     xs = jnp.pad(gs - mu, ((0, pad), (0, 0)))
     cs = _blocked_cumsum(xs)[:k]
     ce = jnp.concatenate([jnp.zeros((1, gs.shape[1]), gs.dtype), cs], axis=0)
-    hist = jnp.zeros((n + 1,), jnp.int32).at[jnp.clip(ii, 0, n)].add(
-        1, mode="drop"
-    )
-    ends = jnp.cumsum(hist[:n])
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
-    seg = (ce[ends] - ce[starts]) + (ends - starts)[:, None].astype(
-        gs.dtype
-    ) * mu
-    return seg, None
+    # per-gaussian runs from the expansion residuals: end[g] = min(cum[g], K)
+    # and start[g] = min(cum[g-1], K) = shifted end — ONE boundary gather.
+    ends = jnp.minimum(cum, k)
+    z = ce[ends]                                         # (N, 16)
+    z_prev = jnp.concatenate([jnp.zeros_like(z[:1]), z[:-1]], axis=0)
+    run = (ends - jnp.minimum(cum - count, k)).astype(gs.dtype)
+    seg = (z - z_prev) + run[:, None] * mu
+    return seg, None, None, None
 
 
 gather_features.defvjp(_gather_features_fwd, _gather_features_bwd)
@@ -298,7 +304,9 @@ def bin_gaussians(
     starts = jnp.searchsorted(tile_sorted, tile_range, side="left")
     ends = jnp.searchsorted(tile_sorted, tile_range, side="right")
 
-    feat = gather_features(features_from_projection(proj), gid_sorted)
+    feat = gather_features(
+        features_from_projection(proj), gid_sorted, cum, count
+    )
 
     return BinnedInstances(
         feat=feat,

@@ -168,7 +168,11 @@ def _fwd_kernel(
             sem.at[slot],
         )
 
-    @pl.when(n_chunks > 0)
+    # Tile t's chunk-0 DMA was issued by the previous grid program (slot 0,
+    # see the epilogue below) — only the very first program self-issues.
+    # This hides the per-tile first-chunk DMA latency, which is otherwise
+    # serialized across all ~8k sequential grid steps.
+    @pl.when((t == 0) & (n_chunks > 0))
     def _():
         dma(0, 0).start()
 
@@ -220,6 +224,24 @@ def _fwd_kernel(
     @pl.when(jnp.logical_and(c_done > 0, c_done < n_chunks))
     def _():
         dma(c_done % 2, c_done).wait()
+
+    # prefetch the NEXT tile's first chunk into slot 0 (its chunk 0 always
+    # maps to slot 0); the next program waits on sem[0] instead of issuing
+    nt = t + 1
+
+    @pl.when(nt < pl.num_programs(0))
+    def _():
+        nstart = starts_ref[nt]
+        nastart = (nstart // CHUNK) * CHUNK
+        n_nc = pl.cdiv(ends_ref[nt] - nastart, CHUNK)
+
+        @pl.when(n_nc > 0)
+        def _():
+            pltpu.make_async_copy(
+                feat_hbm.at[:, pl.ds(nastart, CHUNK)],
+                feat_vmem.at[0],
+                sem.at[0],
+            ).start()
 
     out_ref[0, :, 0:3] = acc[:, 0:3]
     out_ref[0, :, 3:4] = t_vec

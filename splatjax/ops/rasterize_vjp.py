@@ -105,13 +105,17 @@ def _bwd_kernel(
             sem_out.at[i % 2],
         )
 
-    @pl.when(c_done > 0)
+    # chunk i=0's feat/gold DMAs were issued by the previous grid program
+    # (see epilogue); only the first program self-issues. The gold prefetch
+    # is safe cross-tile because the previous program drains ALL its grad
+    # writes before issuing it.
+    @pl.when((t == 0) & (c_done > 0))
     def _():
         feat_dma(0).start()
         gold_dma(0).start()
 
     def body(i, carry):
-        t_after, s_r, s_g, s_b = carry
+        t_after, s_u = carry
         base = base_of(i)
 
         @pl.when(i + 1 < c_done)
@@ -134,24 +138,19 @@ def _bwd_kernel(
         col_r = chunk[5:6, :]
         col_g = chunk[6:7, :]
         col_b = chunk[7:8, :]
-        contrib_r = alpha * t_k * col_r          # (P, CHUNK)
-        contrib_g = alpha * t_k * col_g
-        contrib_b = alpha * t_k * col_b
-
-        def suffix(x, s_tail):
-            inc = _suffix_cumsum_lanes(x)
-            return inc - x + s_tail, inc[:, 0:1]  # (excl suffix, chunk total)
-
-        sx_r, tot_r = suffix(contrib_r, s_r)
-        sx_g, tot_g = suffix(contrib_g, s_g)
-        sx_b, tot_b = suffix(contrib_b, s_b)
+        # The per-channel exclusive suffix sums S_i^c = sum_{j>i} a_j T_j c_j
+        # enter g_alpha only as sum_c gc * S_i^c, and the pixel cotangents gc
+        # are lane-independent — so ONE scan of the pre-weighted combination
+        # u = a T (g_r c_r + g_g c_g + g_b c_b) replaces three channel scans.
+        gdotc = g_r * col_r + g_g * col_g + g_b * col_b
+        u = alpha * t_k * gdotc                  # (P, CHUNK)
+        inc_u = _suffix_cumsum_lanes(u)
+        sx_u = inc_u - u + s_u                   # exclusive suffix + carry
+        tot_u = inc_u[:, 0:1]
 
         om_safe = jnp.where(om > 1e-6, om, 1e-6)
         g_alpha = (
-            g_r * (t_k * col_r - sx_r / om_safe)
-            + g_g * (t_k * col_g - sx_g / om_safe)
-            + g_b * (t_k * col_b - sx_b / om_safe)
-            - g_tf * (t_final / om_safe)
+            t_k * gdotc - sx_u / om_safe - g_tf * (t_final / om_safe)
         )
         # clip boundary: no grad through min(alpha, clip) when clipped
         opa = chunk[8:9, :]
@@ -195,16 +194,27 @@ def _bwd_kernel(
         gout_dma(i).start()
 
         # carry to the previous chunk: T at this chunk's first instance,
-        # suffix sums extended by this whole chunk
-        return (t_k[:, 0:1], s_r + tot_r, s_g + tot_g, s_b + tot_b)
+        # combined suffix sum extended by this whole chunk
+        return (t_k[:, 0:1], s_u + tot_u)
 
-    init = (
-        t_final,
-        jnp.zeros_like(t_final),
-        jnp.zeros_like(t_final),
-        jnp.zeros_like(t_final),
-    )
+    init = (t_final, jnp.zeros_like(t_final))
     jax.lax.fori_loop(0, c_done, body, init)
+
+    # next tile's first reverse chunk window (i=0 -> slots feat[0]/gold[0])
+    nt = t + 1
+    in_grid = nt < pl.num_programs(0)
+    n_cd = jnp.where(in_grid, chunks_ref[jnp.minimum(nt, pl.num_programs(0) - 1)], 0)
+    nstart = starts_ref[jnp.minimum(nt, pl.num_programs(0) - 1)]
+    nbase = (nstart // CHUNK) * CHUNK + (n_cd - 1) * CHUNK
+
+    # feat is read-only: prefetch it before the write drain to overlap the
+    # DMA with the drain waits below
+    @pl.when(in_grid & (n_cd > 0))
+    def _():
+        pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(nbase, CHUNK)],
+            feat_vmem.at[0], sem_feat.at[0],
+        ).start()
 
     # drain the last (up to two) outstanding grad writes
     @pl.when(c_done >= 2)
@@ -214,6 +224,15 @@ def _bwd_kernel(
     @pl.when(c_done >= 1)
     def _():
         gout_dma(c_done - 1).wait()
+
+    # gold prefetch only after the drain: its read may touch the same
+    # 128-aligned boundary block this tile just read-modify-wrote
+    @pl.when(in_grid & (n_cd > 0))
+    def _():
+        pltpu.make_async_copy(
+            g_feat_hbm.at[:, pl.ds(nbase, CHUNK)],
+            g_old_vmem.at[0], sem_old.at[0],
+        ).start()
 
 
 def _bwd_pallas(
