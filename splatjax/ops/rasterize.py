@@ -15,8 +15,8 @@ with whole-tile early termination once max(T) < eps. This equals the
 viewer's back-to-front "over" blend (index.js:177-181) exactly when eps=0.
 
 Memory layout (chosen for Mosaic's (sublane, lane)=(8, 128) tiling rules):
-  * features are FEATURE-MAJOR ``(16, K_pad)`` in HBM so a chunk DMA is an
-    aligned (16, 128) block;
+  * features are FEATURE-MAJOR ``(9, K_pad)`` in HBM so a chunk DMA is a
+    strided (9, 128) block;
   * tile ranges need not be 128-aligned — the kernel rounds the DMA window
     down to a 128 boundary and masks instances outside [start, end);
   * per-tile output is ``(P, 8)``: channels r, g, b, T_final (4 spare),
@@ -36,11 +36,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from splatjax.ops.binning import FEAT_DIM, TileConfig
+from splatjax.ops.binning import FEAT_DIM, TileConfig  # noqa: F401
 
 Array = jax.Array
 
 CHUNK = 128  # gaussians composited per inner step (lane axis)
+
+# Kernel-facing feature rows: Mosaic requires DMA slice sublane dims to be
+# multiples of 8, so the narrow (9, K) feature array (binning.FEAT_DIM) is
+# zero-padded to 16 rows at the kernel boundary. The expensive per-instance
+# row gathers stay on the 9-row layout (row-gather cost scales with bytes);
+# this pad/slice is a cheap sequential copy.
+FEAT_PAD = 16
 
 
 def _use_interpret() -> bool:
@@ -48,10 +55,13 @@ def _use_interpret() -> bool:
 
 
 def pad_features(feat_fm: Array) -> Array:
-    """Pad (16, K) feature-major array so chunk DMAs never run off the end."""
+    """Pad (9, K) -> (FEAT_PAD, K_pad) so chunk DMAs are aligned and never
+    run off the end."""
     k = feat_fm.shape[1]
     k_pad = (-(-k // CHUNK)) * CHUNK + CHUNK
-    return jnp.pad(feat_fm, ((0, 0), (0, k_pad - k)))
+    return jnp.pad(
+        feat_fm, ((0, FEAT_PAD - feat_fm.shape[0]), (0, k_pad - k))
+    )
 
 
 def _pixel_grids(cfg: TileConfig, tile_idx):
@@ -123,7 +133,7 @@ def _suffix_cumsum_lanes(x):
 def _chunk_alpha(chunk, px, py, kidx, start, end, alpha_clip):
     """Alpha matrix (P, CHUNK) for one feature chunk at tile pixels.
 
-    chunk: (16, CHUNK) feature-major; kidx: (1, CHUNK) absolute instance ids.
+    chunk: (9, CHUNK) feature-major; kidx: (1, CHUNK) absolute instance ids.
     """
     mean_x = chunk[0:1, :]
     mean_y = chunk[1:2, :]
@@ -264,7 +274,7 @@ def rasterize_tiles_fwd(
 ):
     """Pallas forward.
 
-    feat_fm: (16, K) feature-major instance features (sorted).
+    feat_fm: (9, K) feature-major instance features (sorted).
     Returns (out_tiles (T, P, 8) [r,g,b,T_final,...], chunks_done (T,)).
     """
     t_tiles = cfg.num_tiles
@@ -280,7 +290,7 @@ def rasterize_tiles_fwd(
         out_specs=pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT_DIM, CHUNK), jnp.float32),
+            pltpu.VMEM((2, FEAT_PAD, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -16,7 +16,7 @@ A = 1 - T_final):
 
 then chained to (mean2d, conic, color, opacity) and reduced over the tile's
 pixels. Each instance belongs to exactly one tile, so per-instance grads land
-disjointly in a (16, K_pad) buffer — written read-modify-write because chunk
+disjointly in a (9, K_pad) buffer — written read-modify-write because chunk
 windows are 128-aligned and may straddle a neighbouring tile's rows. The
 transpose of the upstream feature gather (ops/binning.py) scatter-adds them
 back onto gaussians, and jax autodiff continues through projection to the 3D
@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from splatjax.ops.binning import FEAT_DIM, TileConfig
 from splatjax.ops.rasterize import (
     CHUNK,
+    FEAT_PAD,
     _chunk_alpha,
     _lane_iota,
     _suffix_cumprod_lanes,
@@ -149,16 +150,20 @@ def _bwd_kernel(
         tot_u = inc_u[:, 0:1]
 
         om_safe = jnp.where(om > 1e-6, om, 1e-6)
-        g_alpha = (
-            t_k * gdotc - sx_u / om_safe - g_tf * (t_final / om_safe)
-        )
-        # clip boundary: no grad through min(alpha, clip) when clipped
+        # one division: (S_i + g_T T_final) / (1 - a_i); g_tf*t_final is
+        # per-pixel, hoisted out of the lane dim by broadcasting
+        g_alpha = t_k * gdotc - (sx_u + g_tf * t_final) / om_safe
+        # d alpha / d opacity = masked exp(power), recovered as alpha/opa
+        # instead of a second transcendental (alpha = masked_exp * opa when
+        # unclipped; when clipped, g_alpha is zeroed so dexp is irrelevant).
+        # Caveat: at opa <= 1e-12 this underestimates the opacity gradient
+        # (true d(alpha)/d(opa) = exp(power)); such splats are invisible and
+        # post-sigmoid opacities never reach exact 0.
         opa = chunk[8:9, :]
-        dexp = jnp.where(
-            in_range & (power >= -4.0), jnp.exp(power), 0.0
-        )  # d alpha / d opacity
+        dexp = alpha / jnp.where(jnp.abs(opa) > 1e-12, opa, 1e-12)
         if alpha_clip is not None:
-            g_alpha = jnp.where(dexp * opa < alpha_clip, g_alpha, 0.0)
+            # min(raw*opa, clip) clipped  <=>  alpha >= clip
+            g_alpha = jnp.where(alpha < alpha_clip, g_alpha, 0.0)
         g_alpha = jnp.where(in_range, g_alpha, 0.0)
         g_power = g_alpha * alpha                 # d(exp(p)*o)/dp = alpha
         ca = chunk[2:3, :]
@@ -177,7 +182,7 @@ def _bwd_kernel(
 
         grow = jnp.concatenate(
             [g_mx, g_my, g_a, g_bq, g_c, g_cr, g_cg, g_cb, g_opa,
-             jnp.zeros((FEAT_DIM - 9, CHUNK), jnp.float32)],
+             jnp.zeros((FEAT_PAD - 9, CHUNK), jnp.float32)],
             axis=0,
         )
         # wait for the write issued two iterations ago before reusing its
@@ -256,9 +261,9 @@ def _bwd_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT_DIM, CHUNK), jnp.float32),
-            pltpu.VMEM((2, FEAT_DIM, CHUNK), jnp.float32),
-            pltpu.VMEM((2, FEAT_DIM, CHUNK), jnp.float32),
+            pltpu.VMEM((2, FEAT_PAD, CHUNK), jnp.float32),
+            pltpu.VMEM((2, FEAT_PAD, CHUNK), jnp.float32),
+            pltpu.VMEM((2, FEAT_PAD, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -286,7 +291,7 @@ def rasterize_tiles(
 ):
     """Differentiable tiled rasterization.
 
-    feat_fm: (16, K) feature-major sorted instance features.
+    feat_fm: (9, K) feature-major sorted instance features.
     Returns (out_tiles (T, P, 8) [r,g,b,T_final,...], chunks_done (T,)).
     """
     return rasterize_tiles_fwd(
@@ -313,7 +318,7 @@ def _bwd_rule(cfg, alpha_clip, early_stop, residuals, cotangents):
         feat_pad, starts, ends, chunks_done, out_tiles,
         g_out.astype(jnp.float32), cfg, alpha_clip,
     )
-    return g_feat[:, : feat_fm.shape[1]], None, None
+    return g_feat[:FEAT_DIM, : feat_fm.shape[1]], None, None
 
 
 rasterize_tiles.defvjp(_fwd_rule, _bwd_rule)
