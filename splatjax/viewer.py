@@ -71,6 +71,7 @@ class SplatRenderer:
     scene: Optional[GaussianScene] = None
     cutout: Optional[Array] = None
     pixel_ratio: float = 1.0
+    xr_pixel_ratio: float = 0.5
     max_splats: int = DEFAULT_MAX_SPLATS
     capacity: Optional[int] = None
     alpha_clip: Optional[float] = None
@@ -120,15 +121,19 @@ class SplatRenderer:
         return r
 
     # -- rendering -------------------------------------------------------
-    def render(self, camera: Camera, **overrides) -> Array:
+    def render(self, camera: Camera, xr: bool = False, **overrides) -> Array:
+        """Render; ``xr=True`` applies xr_pixel_ratio instead of pixel_ratio
+        (the reference's XR framebuffer scale, index.js:13-15, default 0.5).
+        """
         if self.scene is None or self.scene.num_gaussians == 0:
             raise ValueError("no scene loaded (src/scene/feed)")
-        if self.pixel_ratio != 1.0:
+        ratio = self.xr_pixel_ratio if xr else self.pixel_ratio
+        if ratio != 1.0:
             camera = Camera(
                 modelview=camera.modelview,
                 projection=camera.projection,
-                width=max(int(camera.width * self.pixel_ratio), 1),
-                height=max(int(camera.height * self.pixel_ratio), 1),
+                width=max(int(camera.width * ratio), 1),
+                height=max(int(camera.height * ratio), 1),
             )
         kw = dict(
             tile_size=self.tile_size,

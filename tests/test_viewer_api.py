@@ -91,3 +91,15 @@ def test_no_scene_raises():
     cam = make_camera((0, 0, 2.0), (0, 0, 0), width=16, height=16)
     with pytest.raises(ValueError):
         r.render(cam)
+
+
+def test_xr_pixel_ratio_scales_resolution():
+    # xrPixelRatio defaults to 0.5 (index.js:6, README.md:19): XR renders
+    # at half the framebuffer resolution
+    scene = synthetic_scene(40, seed=8, extent=0.5, scale_range=(0.05, 0.1))
+    r = SplatRenderer(scene=scene)
+    cam = make_camera((0, 0, 2.0), (0, 0, 0), width=64, height=48)
+    assert r.render(cam).shape == (48, 64, 4)
+    assert r.render(cam, xr=True).shape == (24, 32, 4)
+    r2 = SplatRenderer(scene=scene, xr_pixel_ratio=0.25)
+    assert r2.render(cam, xr=True).shape == (12, 16, 4)
