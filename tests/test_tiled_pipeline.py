@@ -154,3 +154,48 @@ def test_all_culled_scene():
     cam = make_camera((0, 0, -3.0), (0, 0, -10.0), width=32, height=32)
     img = np.asarray(render(scene, cam))
     assert np.all(img[..., 3] == 0.0)
+
+
+def test_gather_features_vjp_matches_scatter_oracle():
+    # The segment-sum backward (sort + blocked cumsum + cum/count residual
+    # boundaries, ops/binning.py) must equal the dense scatter-add transpose
+    # of the row gather — including under capacity truncation, where a
+    # gaussian's instance run is cut mid-way, and with zero-count gaussians.
+    from splatjax.ops.binning import gather_features
+
+    rng = np.random.default_rng(3)
+    n, cap = 37, 64
+    count = rng.integers(0, 5, size=n).astype(np.int32)
+    cum = np.cumsum(count).astype(np.int32)
+    total = int(cum[-1])
+    assert total > cap  # exercise the truncation branch
+
+    # gid per instance slot, gaussian-major (the pre-sort expansion order),
+    # truncated at cap; invalid tail slots carry gid n-1 like bin_gaussians
+    gid_full = np.repeat(np.arange(n, dtype=np.int32), count)[:cap]
+    gid = np.full((cap,), n - 1, np.int32)
+    gid[: len(gid_full)] = gid_full
+    # an arbitrary permutation stands in for the tile sort; keep the
+    # invalid tail (if any) at the end, as the sentinel keys do
+    perm = rng.permutation(min(total, cap)).astype(np.int32)
+    if cap > total:
+        perm = np.concatenate([perm, np.arange(total, cap, dtype=np.int32)])
+    gid = gid[perm]
+
+    feat = rng.normal(size=(n, 16)).astype(np.float32)
+    cot = rng.normal(size=(16, cap)).astype(np.float32)
+
+    def f(feat):
+        return gather_features(
+            jnp.asarray(feat), jnp.asarray(gid),
+            jnp.asarray(cum), jnp.asarray(count),
+        )
+
+    out, vjp = jax.vjp(f, feat)
+    (got,) = vjp(jnp.asarray(cot))
+
+    expect = np.zeros_like(feat)
+    valid = min(total, cap)
+    np.add.at(expect, gid[:valid], cot.T[:valid])
+
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=2e-5, atol=2e-5)
