@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Per-stage timing breakdown of the tiled render pipeline on real TPU.
+
+Complements the headline `bench.py` (one fused fwd+bwd number) with the
+stage split used to direct optimization work: projection, binning
+(expansion + sort + gathers), Pallas rasterize fwd, image assembly, and the
+two backward legs (rasterize bwd kernel, gather-transpose segment-sum).
+
+The reference viewer has no analogue (its only instrumentation is console
+progress logging, index.js:266-276); this is the `jax.profiler`-adjacent
+harness promised in SURVEY.md §5.
+
+Usage:  python benchmarks/stages.py [--n 1000000] [--res 1920x1080]
+Prints one JSON line with per-stage milliseconds.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from splatjax.camera import make_camera  # noqa: E402
+from splatjax.io import synthetic_scene  # noqa: E402
+from splatjax.ops.binning import TileConfig, bin_gaussians  # noqa: E402
+from splatjax.ops.projection import project_gaussians  # noqa: E402
+from splatjax.ops.rasterize import tiles_to_image  # noqa: E402
+from splatjax.ops.rasterize_vjp import rasterize_tiles  # noqa: E402
+from splatjax.scene import build_covariances  # noqa: E402
+
+
+def _sync(x):
+    # On the axon tunnel a scalar readback is the only reliable fence.
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
+def _timer(iters):
+    tiny = jax.jit(lambda x: x + 1.0)
+    t = jax.device_put(jnp.zeros((8, 128)))
+    _sync(tiny(t))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _sync(tiny(t))
+    rtt = (time.perf_counter() - t0) / 5
+
+    def timeit(f, *a):
+        _sync(f(*a))  # warm / compile
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            _sync(f(*a))
+            ts.append(time.perf_counter() - t0 - rtt)
+        # sub-RTT stages can go slightly negative after the tunnel
+        # round-trip subtraction; clamp — they are "too small to measure"
+        return round(max(float(np.median(ts)), 0.0) * 1e3, 2)
+
+    return timeit
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--res", default="1920x1080")
+    ap.add_argument("--cap", type=int, default=0, help="0 = 3n")
+    ap.add_argument("--iters", type=int, default=6)
+    args = ap.parse_args()
+
+    w, h = (int(v) for v in args.res.split("x"))
+    cap = args.cap or 3 * args.n
+    scene = synthetic_scene(
+        args.n, seed=7, extent=1.0, scale_range=(0.002, 0.008)
+    )
+    cam = make_camera((0, 0, 2.8), (0, 0, 0), width=w, height=h)
+    cfg = TileConfig(w, h, 16, 16)
+    arrs = tuple(
+        jax.device_put(jnp.asarray(x))
+        for x in (scene.means, scene.scales, scene.quats,
+                  scene.colors, scene.opacities)
+    )
+    mv, pr = cam.modelview, cam.projection
+
+    @jax.jit
+    def stage_proj(means, scales, quats, colors, opac):
+        cov3d = build_covariances(quats, scales)
+        return project_gaussians(
+            means, cov3d, colors, opac, mv, pr, w, h,
+            max_scales=jnp.max(scales, axis=-1),
+        )
+
+    @jax.jit
+    def stage_bin(proj):
+        b = bin_gaussians(proj, cfg, cap)
+        return b.feat, b.starts, b.ends, b.overflow
+
+    @jax.jit
+    def stage_rast(feat, starts, ends):
+        out, _ = rasterize_tiles(feat, starts, ends, cfg, 0.999, 1e-4)
+        return out
+
+    @jax.jit
+    def stage_img(out_tiles):
+        return tiles_to_image(out_tiles, cfg, None)
+
+    @jax.jit
+    def rast_grad(feat, starts, ends):
+        def loss(f):
+            out, _ = rasterize_tiles(f, starts, ends, cfg, 0.999, 1e-4)
+            return jnp.sum(out[:, :, :4] ** 2)
+        return jax.grad(loss)(feat)
+
+    @jax.jit
+    def bin_grad(proj):
+        # exercises the gather VJP (sort + segment-sum) via mean2d grads
+        def loss(mean2d):
+            import dataclasses as dc
+            p = dc.replace(proj, mean2d=mean2d)
+            b = bin_gaussians(p, cfg, cap)
+            return jnp.sum(b.feat ** 2)
+        return jax.grad(loss)(proj.mean2d)
+
+    timeit = _timer(args.iters)
+    proj = stage_proj(*arrs)
+    jax.block_until_ready(proj)
+    binned = stage_bin(proj)
+    feat, starts, ends, ov = binned
+    out_tiles = stage_rast(feat, starts, ends)
+
+    result = {
+        "n": args.n,
+        "res": args.res,
+        "capacity": cap,
+        "overflow": int(ov),
+        "proj_ms": timeit(stage_proj, *arrs),
+        "binning_ms": timeit(stage_bin, proj),
+        "rasterize_fwd_ms": timeit(stage_rast, feat, starts, ends),
+        "assembly_ms": timeit(stage_img, out_tiles),
+        "rasterize_fwd_bwd_ms": timeit(rast_grad, feat, starts, ends),
+        "binning_fwd_bwd_ms": timeit(bin_grad, proj),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
