@@ -71,11 +71,21 @@ struct PlyHeader {
 };
 
 bool parse_header(const uint8_t* data, int64_t len, PlyHeader* out) {
+  // Scan the whole buffer for end_header (headers with long comments or many
+  // properties can exceed any fixed window; the reference's 10KB probe,
+  // index.js:602-608, rejects such files — we accept them).
   const char* end_marker = "end_header\n";
-  std::string head(reinterpret_cast<const char*>(data),
-                   std::min<int64_t>(len, 10 * 1024));
-  size_t end = head.find(end_marker);
-  if (end == std::string::npos) return false;
+  const size_t marker_len = std::strlen(end_marker);
+  const char* base = reinterpret_cast<const char*>(data);
+  const char* found = static_cast<const char*>(nullptr);
+  if (len >= (int64_t)marker_len) {
+    const char* it = std::search(base, base + len, end_marker,
+                                 end_marker + marker_len);
+    if (it != base + len) found = it;
+  }
+  if (!found) return false;
+  std::string head(base, (size_t)(found - base) + marker_len);
+  size_t end = head.size() - marker_len;
   out->body_offset = end + std::strlen(end_marker);
 
   size_t pos = 0, stride = 0;
@@ -275,11 +285,18 @@ int64_t ply_parse(const uint8_t* data, int64_t len, int32_t importance_sort,
     }
     opacities[j] = pop ? sigmoidf((float)read_prop(row, *pop)) : 1.0f;
     if (keep > 0) {
-      // ply stores channel-major (3, per_chan); emit (keep, 3)
-      for (int c = 0; c < keep; ++c)
-        for (int ch = 0; ch < 3; ++ch)
-          sh[(j * keep + c) * 3 + ch] =
-              (float)read_prop(row, *rest[ch * per_chan + c]);
+      // ply stores channel-major (3, per_chan); emit (keep, 3). Coefficients
+      // of z-odd basis functions are negated: the framework's Z reflection
+      // (index.js:350-354) flips their sign (band-local indices 1; 4, 6;
+      // 9, 11, 13 — matching ply_format._SH_Z_ODD).
+      for (int c = 0; c < keep; ++c) {
+        const bool z_odd =
+            (c == 1 || c == 4 || c == 6 || c == 9 || c == 11 || c == 13);
+        for (int ch = 0; ch < 3; ++ch) {
+          float v = (float)read_prop(row, *rest[ch * per_chan + c]);
+          sh[(j * keep + c) * 3 + ch] = z_odd ? -v : v;
+        }
+      }
     }
   }
   return n;

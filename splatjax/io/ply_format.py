@@ -29,6 +29,25 @@ from splatjax.scene import GaussianScene
 
 SH_C0 = 0.28209479177387814  # index.js:728
 
+# The framework maps 3DGS world space through the viewer's Z reflection
+# (index.js:350-354). Real SH basis functions that are odd in z flip sign
+# under z -> -z, so their coefficients must be negated on load (and again on
+# save) for view-dependent color to match the source asset. Within the
+# (N, K, 3) band layout (bands 1..3, DC excluded) the z-odd basis indices are:
+#   band 1: z            -> 1
+#   band 2: yz, xz       -> 4, 6
+#   band 3: xyz, z(2z^2-3x^2-3y^2), z(x^2-y^2) -> 9, 11, 13
+_SH_Z_ODD = (1, 4, 6, 9, 11, 13)
+
+
+def _flip_sh_z(sh: np.ndarray) -> np.ndarray:
+    """Negate z-odd SH coefficients in-place-safe; sh is (N, K, 3)."""
+    sh = sh.copy()
+    for i in _SH_Z_ODD:
+        if i < sh.shape[1]:
+            sh[:, i, :] = -sh[:, i, :]
+    return sh
+
 _PLY_DTYPES = {
     "double": "<f8",
     "int": "<i4",
@@ -114,6 +133,7 @@ def parse_ply_bytes(
                 [col(f"f_rest_{i}") for i in range(n_rest)], axis=-1
             ).reshape(n, 3, per_chan)  # 3DGS ply stores channel-major
             sh = np.transpose(rest[:, :, :keep], (0, 2, 1)).astype(np.float32)
+            sh = _flip_sh_z(sh)  # Z reflection parity (see _SH_Z_ODD)
 
     if importance_sort and "scale_0" in names:
         importance = scales.prod(axis=-1) * opacities  # index.js:658-663
@@ -150,8 +170,13 @@ def load_ply(
         if native.available() or (
             backend == "native" and native.ensure_built()
         ):
-            return native.parse_ply_bytes_native(data, **kw)
-        if backend == "native":
+            try:
+                return native.parse_ply_bytes_native(data, **kw)
+            except ValueError:
+                if backend == "native":
+                    raise
+                # fall through: the NumPy parser is the semantics of record
+        elif backend == "native":
             raise RuntimeError("native ingestion library unavailable")
     return parse_ply_bytes(data, **kw)
 
@@ -195,7 +220,9 @@ def save_ply(path: Union[str, os.PathLike], scene: GaussianScene) -> None:
     out[:, 6:9] = f_dc
     off = 9
     if sh is not None:
-        rest = np.transpose(np.asarray(sh, np.float32), (0, 2, 1)).reshape(n, -1)
+        # invert the loader's z-odd coefficient flip (see _SH_Z_ODD)
+        flipped = _flip_sh_z(np.asarray(sh, np.float32))
+        rest = np.transpose(flipped, (0, 2, 1)).reshape(n, -1)
         out[:, off: off + n_rest] = rest
         off += n_rest
     out[:, off] = logit_o

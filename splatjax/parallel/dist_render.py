@@ -84,15 +84,23 @@ def render_sharded(
     axis: str = "dev",
     tile_size: int = 16,
     capacity: Optional[int] = None,
-    alpha_clip: Optional[float] = None,
+    alpha_clip="auto",
     early_stop: float = 1e-4,
+    return_overflow: bool = False,
 ) -> Array:
-    """Render across all devices of ``mesh`` (1-D axis). Returns (H, W, 4).
+    """Render across all devices of ``mesh`` (1-D axis). Returns (H, W, 4)
+    (or ``(image, overflow)`` with ``return_overflow=True``, where overflow
+    is the (D,) per-band count of instances dropped at capacity).
 
     Gaussian count must divide by the axis size (pad the scene if needed);
     per-device instance capacity defaults to the single-chip heuristic
-    divided by the axis size (each band sees ~1/D of the duplication).
+    divided by the axis size. NOTE: the /D default assumes roughly uniform
+    band occupancy — a view whose splats concentrate in one horizontal band
+    can overflow it; monitor with return_overflow or raise ``capacity``.
     """
+    from splatjax.render import resolve_alpha_clip
+
+    alpha_clip = resolve_alpha_clip(alpha_clip, False)
     n_dev = mesh.shape[axis]
     n = scene.num_gaussians
     if n % n_dev:
@@ -135,16 +143,16 @@ def render_sharded(
             binned.feat, binned.starts, binned.ends, cfg_band,
             alpha_clip, early_stop,
         )
-        return out_tiles                                   # (T_band, P, 8)
+        return out_tiles, binned.overflow[None]            # (T_band, P, 8), (1,)
 
     fn = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(), P()),
-        out_specs=P(axis),
+        out_specs=(P(axis), P(axis)),
         check_vma=False,
     )
-    out_tiles = fn(
+    out_tiles, overflow = fn(
         jnp.asarray(scene.means, jnp.float32),
         jnp.asarray(scene.scales, jnp.float32),
         jnp.asarray(scene.quats, jnp.float32),
@@ -160,4 +168,7 @@ def render_sharded(
     img = tiles_to_image(out_tiles, cfg_full)
     # tiles_to_image flips to row-0-top of the padded image; crop the pad
     # (which sits at the top after the flip)
-    return img[band_h * n_dev - camera.height:]
+    img = img[band_h * n_dev - camera.height:]
+    if return_overflow:
+        return img, overflow
+    return img

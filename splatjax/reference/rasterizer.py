@@ -109,14 +109,21 @@ def render_reference(
     viewer_exact: bool = False,
     cutout: Optional[Array] = None,
     pixel_chunk: int = 1024,
-    alpha_clip: Optional[float] = None,
+    alpha_clip="auto",
 ) -> Array:
     """Ground-truth render of a scene. (H, W, 4) float32 in [0, 1].
 
     viewer_exact=True additionally applies the viewer's int16 covariance
     quantization (index.js:371-387) so output matches what the WebGL viewer
     actually displays, bit-for-bit math-wise.
+
+    alpha_clip follows splatjax.render's "auto" convention (0.999 clamp
+    outside viewer_exact mode) so golden/gradient comparisons against the
+    tiled pipeline share identical blending by default.
     """
+    from splatjax.render import resolve_alpha_clip
+
+    alpha_clip = resolve_alpha_clip(alpha_clip, viewer_exact)
     cov3d = build_covariances(scene.quats, scene.scales)
     if viewer_exact:
         q, qs = quantize_covariances_int16(covariance_upper(cov3d))

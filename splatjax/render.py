@@ -37,11 +37,27 @@ def default_capacity(num_gaussians: int, dup_factor: int = 4) -> int:
     return -(-cap // 1024) * 1024
 
 
+# A fragment that reaches alpha == 1.0 (possible with u8 opacity 255 from
+# .splat assets) zeroes the saved transmittance, which the backward divides
+# by — clamping at 0.999 keeps 1/(1-a) bounded while changing the forward by
+# < 1e-3 only in the measure-zero saturated region. "auto" resolves to this
+# clamp except in viewer_exact mode, which keeps the WebGL blend bit-exact.
+DEFAULT_ALPHA_CLIP = 0.999
+
+
+def resolve_alpha_clip(alpha_clip, viewer_exact: bool) -> Optional[float]:
+    if isinstance(alpha_clip, str):
+        if alpha_clip != "auto":
+            raise ValueError(f"alpha_clip must be float, None or 'auto', got {alpha_clip!r}")
+        return None if viewer_exact else DEFAULT_ALPHA_CLIP
+    return alpha_clip
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "width", "height", "tile_size", "capacity",
-        "alpha_clip", "early_stop", "viewer_exact",
+        "alpha_clip", "early_stop", "viewer_exact", "exact_depth_sort",
     ),
 )
 def _render_impl(
@@ -55,6 +71,7 @@ def _render_impl(
     alpha_clip: Optional[float],
     early_stop: float,
     viewer_exact: bool,
+    exact_depth_sort: bool,
 ):
     cov3d = build_covariances(quats, scales)
     if viewer_exact:
@@ -68,7 +85,7 @@ def _render_impl(
         sh=sh,
     )
     cfg = TileConfig(width, height, tile_size, tile_size)
-    binned = bin_gaussians(proj, cfg, capacity)
+    binned = bin_gaussians(proj, cfg, capacity, exact_depth_sort=exact_depth_sort)
     out_tiles, _ = rasterize_tiles(
         binned.feat, binned.starts, binned.ends, cfg, alpha_clip, early_stop
     )
@@ -82,9 +99,10 @@ def render(
     *,
     tile_size: int = 16,
     capacity: Optional[int] = None,
-    alpha_clip: Optional[float] = None,
+    alpha_clip="auto",
     early_stop: float = 1e-4,
     viewer_exact: bool = False,
+    exact_depth_sort: bool = False,
     cutout: Optional[Array] = None,
     background: Optional[Array] = None,
     return_overflow: bool = False,
@@ -99,11 +117,15 @@ def render(
         scene's duplicated instances exceed it, the overflow tail is dropped
         (analogous to the viewer's MAX_TEXTURE_SIZE^2 truncation,
         index.js:30-36); pass return_overflow=True to monitor.
-      alpha_clip: clamp per-fragment alpha (None = viewer-exact; ~0.999
-        recommended for training to keep 1/(1-a) bounded in the backward).
+      alpha_clip: clamp per-fragment alpha. "auto" (default) = 0.999 to keep
+        1/(1-a) bounded in the backward, or None in viewer_exact mode; pass
+        None explicitly for unclamped blending.
       early_stop: stop a tile's sweep when all transmittances fall below
         this (0.0 = exact back-to-front blend equivalence).
-      viewer_exact: apply the viewer's int16 covariance quantization.
+      viewer_exact: apply the viewer's int16 covariance quantization (and
+        disable the auto alpha clamp).
+      exact_depth_sort: order instances by exact f32 depth within each tile
+        (two stable sorts) instead of the packed quantized-depth key.
       cutout: optional (4, 4) world->unit-box cull matrix.
       background: optional (3,) RGB composited under the splats.
     """
@@ -124,9 +146,10 @@ def render(
         height=camera.height,
         tile_size=tile_size,
         capacity=capacity,
-        alpha_clip=alpha_clip,
+        alpha_clip=resolve_alpha_clip(alpha_clip, viewer_exact),
         early_stop=early_stop,
         viewer_exact=viewer_exact,
+        exact_depth_sort=exact_depth_sort,
     )
     if return_overflow:
         return img, overflow

@@ -74,15 +74,17 @@ class SplatRenderer:
     xr_pixel_ratio: float = 0.5
     max_splats: int = DEFAULT_MAX_SPLATS
     capacity: Optional[int] = None
-    alpha_clip: Optional[float] = None
+    alpha_clip: object = "auto"  # float | None | "auto" (see render())
     early_stop: float = 1e-4
     viewer_exact: bool = False
+    exact_depth_sort: bool = False
     tile_size: int = 16
     background: Optional[Array] = None
 
     def __post_init__(self):
         self._pending = b""
         self._parts: list[GaussianScene] = []
+        self._fed = 0  # splats parsed from feed() so far (capped)
         if self.src is not None:
             with open(self.src, "rb") as f:
                 data = f.read()
@@ -97,21 +99,34 @@ class SplatRenderer:
 
     # -- progressive ingest (index.js:259-303) --------------------------
     def feed(self, chunk: bytes) -> int:
-        """Push raw .splat bytes; returns splats loaded so far."""
+        """Push raw .splat bytes; returns splats loaded so far.
+
+        Amortized O(rows in chunk): each chunk is parsed once into a part
+        list; parts are concatenated lazily (and cached) when ``scene`` is
+        next read. Bytes past ``max_splats`` are discarded unparsed, like
+        the reference's maxVertexes truncation (index.js:329-335).
+        """
+        base = self.scene.num_gaussians if self.scene is not None else 0
+        budget = self.max_splats - base - self._fed
+        if budget <= 0:
+            return base + self._fed
         self._pending += chunk
-        n_rows = len(self._pending) // ROW_LENGTH
+        n_rows = min(len(self._pending) // ROW_LENGTH, budget)
         if n_rows:
             whole = self._pending[: n_rows * ROW_LENGTH]
             self._pending = self._pending[n_rows * ROW_LENGTH:]
             self._parts.append(parse_splat_bytes(whole))
-            base = self.scene.num_gaussians if self.scene is not None else 0
-            if base < self.max_splats:
-                parts = ([self.scene] if self.scene is not None else [])
-                merged = _concat_scenes(parts + [self._parts[-1]])
-                self.scene = jax.tree_util.tree_map(
-                    lambda x: x[: self.max_splats], merged
-                )
-        return 0 if self.scene is None else self.scene.num_gaussians
+            self._fed += n_rows
+        return base + self._fed
+
+    def _materialize(self) -> None:
+        """Fold pending feed() parts into ``scene`` (cached until next feed)."""
+        if not self._parts:
+            return
+        parts = ([self.scene] if self.scene is not None else []) + self._parts
+        self.scene = _concat_scenes(parts)
+        self._parts = []
+        self._fed = 0  # folded into scene — budget now counts from there
 
     @classmethod
     def from_stream(cls, chunks: Iterable[bytes], **kw) -> "SplatRenderer":
@@ -125,6 +140,7 @@ class SplatRenderer:
         """Render; ``xr=True`` applies xr_pixel_ratio instead of pixel_ratio
         (the reference's XR framebuffer scale, index.js:13-15, default 0.5).
         """
+        self._materialize()
         if self.scene is None or self.scene.num_gaussians == 0:
             raise ValueError("no scene loaded (src/scene/feed)")
         ratio = self.xr_pixel_ratio if xr else self.pixel_ratio
@@ -141,6 +157,7 @@ class SplatRenderer:
             alpha_clip=self.alpha_clip,
             early_stop=self.early_stop,
             viewer_exact=self.viewer_exact,
+            exact_depth_sort=self.exact_depth_sort,
             cutout=self.cutout,
             background=self.background,
         )

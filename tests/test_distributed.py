@@ -76,3 +76,21 @@ def test_sharded_render_uneven_height():
     img_1 = np.asarray(render(scene, cam, early_stop=0.0))
     assert img_s.shape == (40, W, 4)
     np.testing.assert_allclose(img_s, img_1, atol=1e-5)
+
+
+def test_sharded_overflow_surfaced():
+    # A view concentrating all splats in one band must report overflow
+    # rather than silently dropping instances (ADVICE r1).
+    from splatjax.parallel.dist_render import render_sharded
+
+    mesh = make_mesh()
+    scene = synthetic_scene(64, seed=31, extent=0.05, scale_range=(0.1, 0.2))
+    cam = make_camera((0, 0, 1.2), (0, 0, 0), width=64, height=64)
+    img, overflow = render_sharded(
+        scene, cam, mesh, capacity=1024, return_overflow=True
+    )
+    assert overflow.shape == (mesh.shape["dev"],)
+    img2, overflow2 = render_sharded(
+        scene, cam, mesh, capacity=64, return_overflow=True
+    )
+    assert int(np.sum(np.asarray(overflow2))) > 0

@@ -184,3 +184,67 @@ def test_ply_save_load_round_trip(tmp_path):
     np.testing.assert_allclose(back.opacities, scene.opacities, atol=1e-5)
     np.testing.assert_allclose(back.colors, scene.colors, atol=1e-5)
     np.testing.assert_allclose(back.quats, scene.quats, atol=1e-5)
+
+
+def test_ply_sh_z_reflection_parity():
+    """View-dependent color of an imported 3DGS .ply must match evaluating
+    the original coefficients in the source (un-reflected) space.
+
+    The framework maps world z -> -z (index.js:350-354); z-odd SH basis
+    functions flip sign under that reflection, so the loader negates their
+    coefficients (ply_format._SH_Z_ODD). Property checked: for any view
+    direction d, eval(loaded_sh, reflect(d)) == eval(original_sh, d).
+    """
+    import jax.numpy as jnp
+
+    from splatjax.ops.projection import eval_sh
+
+    rng = np.random.default_rng(4)
+    n, n_rest = 16, 45  # degree 3: 15 coeffs x 3 channels
+    data, cols = _make_ply(n, rng, with_sh_rest=n_rest)
+    scene = parse_ply_bytes(data, importance_sort=False, max_sh_degree=3)
+    assert scene.sh is not None and scene.sh.shape == (n, 15, 3)
+
+    # original-space coefficients, channel-major in the ply -> (n, 15, 3)
+    sh_orig = (
+        np.stack([cols[f"f_rest_{i}"] for i in range(n_rest)], axis=-1)
+        .astype(np.float32)
+        .reshape(n, 3, 15)
+        .transpose(0, 2, 1)
+    )
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d_fw = d * np.array([1.0, 1.0, -1.0], np.float32)  # framework direction
+
+    dc = jnp.full((n, 3), 0.5, jnp.float32)
+    expect = eval_sh(jnp.asarray(sh_orig), dc, jnp.asarray(d))
+    got = eval_sh(jnp.asarray(scene.sh), dc, jnp.asarray(d_fw))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-5)
+
+    # and save_ply round-trips the flip exactly
+    import tempfile, os
+    from splatjax.io import load_ply, save_ply
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "t.ply")
+        save_ply(p, scene)
+        back = load_ply(p, importance_sort=False)
+        np.testing.assert_allclose(back.sh, scene.sh, atol=1e-6)
+
+
+def test_ply_large_header_native_and_python():
+    """A header larger than any fixed probe window (long comments) must
+    parse in both backends (the native parser scans the full buffer)."""
+    rng = np.random.default_rng(5)
+    data, _ = _make_ply(6, rng)
+    head, body = data.split(b"end_header\n", 1)
+    comments = b"".join(
+        b"comment " + bytes([65 + (i % 26)]) * 120 + b"\n" for i in range(200)
+    )  # ~24KB of header comments
+    big = head + comments + b"end_header\n" + body
+    a = parse_ply_bytes(big, importance_sort=False)
+    from splatjax.io import native
+
+    if native.available():
+        b = native.parse_ply_bytes_native(big, importance_sort=False)
+        np.testing.assert_allclose(a.means, b.means, rtol=1e-6)

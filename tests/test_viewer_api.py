@@ -103,3 +103,35 @@ def test_xr_pixel_ratio_scales_resolution():
     assert r.render(cam, xr=True).shape == (24, 32, 4)
     r2 = SplatRenderer(scene=scene, xr_pixel_ratio=0.25)
     assert r2.render(cam, xr=True).shape == (12, 16, 4)
+
+
+def test_feed_is_incremental_and_caps(tmp_path):
+    # feed() must not re-concatenate per chunk (parts fold lazily at render)
+    # and must discard bytes past max_splats instead of retaining them.
+    scene = synthetic_scene(300, seed=76)
+    data = scene_to_splat_bytes(scene)
+    r = SplatRenderer(max_splats=100)
+    for i in range(0, len(data), 640):  # 20-row chunks
+        n = r.feed(data[i:i + 640])
+    assert n == 100
+    assert len(r._parts) >= 2          # parts accumulated, not merged eagerly
+    cam = make_camera((0, 0, 2.2), (0, 0, 0), width=32, height=32)
+    r.render(cam)
+    assert r._parts == [] and r.scene.num_gaussians == 100
+    # further feeding past the cap is a no-op
+    assert r.feed(data[:640]) == 100
+    assert r._parts == []
+
+
+def test_exact_depth_sort_reachable():
+    from splatjax.render import render
+
+    scene = synthetic_scene(150, seed=77, extent=0.6, scale_range=(0.02, 0.08))
+    cam = make_camera((0, 0, 2.2), (0, 0, 0), width=48, height=48)
+    a = np.asarray(render(scene, cam, early_stop=0.0))
+    b = np.asarray(render(scene, cam, early_stop=0.0, exact_depth_sort=True))
+    # quantized-key order (>= 2^14 depth buckets) vs exact f32 order: same
+    # image up to tie-order blending noise
+    assert np.abs(a - b).max() < 1e-3
+    r = SplatRenderer(scene=scene, exact_depth_sort=True)
+    assert r.render(cam).shape == (48, 48, 4)
