@@ -6,21 +6,30 @@ the GPU's ROP hardware resolves per-pixel coverage; on TPU the rasterizer is
 a tiled kernel, so we instead build, *on device with static shapes*:
 
   1. per-gaussian tile span from the projected quad bbox,
-  2. a duplicated instance list (gaussian, tile) of fixed capacity, built
-     with a prefix-sum + searchsorted expansion (no dynamic shapes),
-  3. a front-to-back (tile-major, depth-minor) order via two stable sorts
-     (exact f32 depth — strictly finer than the worker's 16-bit buckets),
-  4. contiguous per-tile [start, end) ranges via searchsorted.
+  2. a depth-compacting sort of the N *gaussians* (zero-instance gaussians
+     last, visible ones front-to-back) — N-sized, ~3x cheaper than sorting
+     the duplicated instances by a packed depth key, and it makes in-tile
+     depth order *exact* f32 instead of bucketed,
+  3. a Pallas expansion kernel (ops/expand.py) emitting per-instance
+     (tile, gaussian) via monotone-window one-hot matmuls on the MXU —
+     replacing round 1's XLA scatter-add histogram + 3M-row table gather,
+  4. ONE stable sort of the instances by tile id: depth-major expansion
+     order makes within-tile depth order come out for free,
+  5. contiguous per-tile [start, end) ranges via searchsorted.
 
-Everything is jnp; gradients flow through the feature gather (its transpose
-is the scatter-add back to gaussians), while index computations are
-non-differentiable constants, as they should be.
+Capacity truncation drops the *farthest* instances (depth-major expansion),
+unlike round 1's arbitrary-order tail drop — the analogue of the viewer
+keeping the most important splats when capped (index.js:329-335, 667-669).
+
+Gradients flow through the feature gather (its transpose is a sort +
+segment-sum back onto gaussians); index computations are non-differentiable
+constants, as they should be.
 """
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,13 +38,14 @@ from splatjax.ops.projection import ProjectedGaussians
 
 Array = jax.Array
 
-# Feature row layout for the rasterizer (padded to 16 rows):
+# UNPACKED feature row layout (f32; the differentiable boundary):
 # 0: mean2d.x  1: mean2d.y  2: conic.a  3: conic.b  4: conic.c
-# 5: color.r   6: color.g   7: color.b  8: opacity  9-15: pad
-# Width 16 is deliberate: v5e row-gather cost is flat from 36 B to 64 B rows
-# (measured 23.5-23.9 ms for 3M rows at 9/10/12/16 f32 columns), so there is
-# nothing to win by narrowing, and 16 sublanes keep every kernel DMA window
-# aligned to Mosaic's (8, 128) tiling without a pad/slice copy.
+# 5: color.r   6: color.g   7: color.b  8: opacity  9: depth  10-15: pad
+# The rasterizer's hot path consumes the PACKED 8-row int32 form
+# (ops/rasterize.py pack_feature_table) — the post-sort instance gather is
+# ~30% cheaper at 32 B rows than 64 B on v5e; this 16-row layout remains
+# the gradient layout (10 used rows, 16 keeps segment-sum windows aligned
+# to Mosaic's (8, 128) tiling).
 FEAT_DIM = 16
 
 
@@ -64,19 +74,31 @@ class TileConfig:
 
 
 class BinnedInstances(NamedTuple):
-    """Fixed-capacity, tile-sorted duplicated instances."""
+    """Fixed-capacity, tile-sorted duplicated instances.
 
-    feat: Array        # (FEAT_DIM, K_cap) float32, feature-major, sorted order
+    ``feat`` is None when built with ``with_features=False`` (the fused
+    rasterize_gathered path gathers packed rows itself); the trailing run
+    residuals (cum/count/perm/cum_d/count_d) feed the merged backward's
+    segment sum.
+    """
+
+    feat: Optional[Array]  # (FEAT_DIM, K_cap) f32 feature-major, or None
     gauss_id: Array    # (K_cap,) int32 source gaussian per instance
     tile_id: Array     # (K_cap,) int32 (num_tiles == sentinel for invalid)
     starts: Array      # (num_tiles,) int32
     ends: Array        # (num_tiles,) int32
     num_instances: Array  # () int32 — total before capacity clamp
     overflow: Array    # () int32 — instances dropped due to capacity
+    cum: Optional[Array] = None      # (N,) int32 inclusive instance cumsum
+    count: Optional[Array] = None    # (N,) int32 per-gaussian instance count
+    perm: Optional[Array] = None     # (N,) int32 depth-compact order
+    cum_d: Optional[Array] = None    # (N,) f32 cumsum in depth order
+    count_d: Optional[Array] = None  # (N,) f32 counts in depth order
 
 
 def features_from_projection(proj: ProjectedGaussians) -> Array:
-    """Pack per-gaussian screen features into the (N, 16) kernel layout."""
+    """Pack per-gaussian screen features into the (N, 16) unpacked layout
+    (incl. camera depth in column 9 for expected-depth rendering)."""
     n = proj.mean2d.shape[0]
     opacity = jnp.where(proj.mask, proj.opacity, 0.0)
     feat = jnp.concatenate(
@@ -85,7 +107,8 @@ def features_from_projection(proj: ProjectedGaussians) -> Array:
             proj.conic,
             proj.color,
             opacity[:, None],
-            jnp.zeros((n, FEAT_DIM - 9), jnp.float32),
+            proj.depth[:, None],
+            jnp.zeros((n, FEAT_DIM - 10), jnp.float32),
         ],
         axis=-1,
     )
@@ -93,8 +116,11 @@ def features_from_projection(proj: ProjectedGaussians) -> Array:
 
 
 @jax.custom_vjp
-def gather_features(feat_n: Array, gid: Array, cum: Array, count: Array) -> Array:
-    """(N, 9) features + (K,) ids -> (9, K) feature-major gathered rows.
+def gather_features(
+    feat_n: Array, gid: Array, cum: Array, count: Array,
+    perm: Array, cum_d: Array, count_d: Array, overflow: Array,
+) -> Array:
+    """(N, C) features + (K,) ids -> (C, K) feature-major gathered rows.
 
     Forward is a plain row gather. The backward replaces XLA's scatter-add
     (~400 ms for 4M rows on v5e) with sort + mean-shifted cumsum segment
@@ -103,18 +129,28 @@ def gather_features(feat_n: Array, gid: Array, cum: Array, count: Array) -> Arra
     cancellation error of the prefix-difference trick at ~eps * sqrt(K)
     instead of eps * K.
 
-    ``cum``/``count`` are the binning expansion's per-gaussian inclusive
-    instance cumsum and counts (non-differentiable). Re-sorting the K
-    instances by gid groups them per gaussian in exactly the runs
-    [cum[g-1], min(cum[g], K)) — reusing them saves the backward a 22 ms
-    histogram scatter-add + an extra segment-boundary gather on v5e.
+    ``cum``/``count`` are the original-order per-gaussian inclusive instance
+    cumsum and counts (non-differentiable). Re-sorting the K instances by
+    gid groups them per gaussian in exactly the runs [cum[g-1], cum[g]) —
+    reusing them saves the backward a 22 ms histogram scatter-add on v5e.
+    Invalid tail slots must carry gid N-1 with zero cotangent rows (they
+    group after gaussian N-1's real run and never enter it).
+
+    When ``overflow > 0`` the capacity cut dropped the depth-farthest
+    instances, so per-gaussian run lengths shrink to the *included* counts:
+    ``perm``/``cum_d``/``count_d`` (the depth-compact order and its instance
+    prefix) reconstruct them; the correction is only computed under a
+    lax.cond so the common non-truncated path pays nothing.
     """
-    del cum, count
+    del cum, count, perm, cum_d, count_d, overflow
     return feat_n[gid].T
 
 
-def _gather_features_fwd(feat_n, gid, cum, count):
-    return gather_features(feat_n, gid, cum, count), (gid, cum, count)
+def _gather_features_fwd(feat_n, gid, cum, count, perm, cum_d, count_d,
+                         overflow):
+    out = gather_features(feat_n, gid, cum, count, perm, cum_d, count_d,
+                          overflow)
+    return out, (gid, cum, count, perm, cum_d, count_d, overflow)
 
 
 def _blocked_cumsum(x: Array, block: int = 128) -> Array:
@@ -137,27 +173,57 @@ def _blocked_cumsum(x: Array, block: int = 128) -> Array:
     return (inner + prefix[:, None, :]).reshape(k, c)
 
 
-def _gather_features_bwd(res, g):
-    gid, cum, count = res
+def segment_sum_by_gid(
+    g: Array, gid: Array, cum: Array, count: Array,
+    perm: Array, cum_d: Array, count_d: Array, overflow: Array,
+) -> Array:
+    """Transpose of the per-instance row gather: (C, K) cotangent rows ->
+    (N, C) per-gaussian sums. Sort by gid + mean-shifted blocked cumsum +
+    run-boundary differences (see gather_features docstring); run lengths
+    correct for depth-major capacity truncation under a lax.cond.
+    """
     k = gid.shape[0]
-    gt = g.T                                             # (K, 16)
+    n = cum.shape[0]
+
+    def _truncated(_):
+        # included instances per depth-rank: what fits before capacity
+        inc_d = jnp.clip(
+            k - (cum_d - count_d), 0, count_d
+        )
+        eff_count = jnp.zeros((n,), cum_d.dtype).at[perm].set(inc_d)
+        return jnp.cumsum(eff_count), eff_count
+
+    def _full(_):
+        return cum.astype(cum_d.dtype), count.astype(count_d.dtype)
+
+    eff_cum, eff_count = jax.lax.cond(overflow > 0, _truncated, _full, None)
+
+    gt = g.T                                             # (K, C)
     _, order = jax.lax.sort(
         (gid, jnp.arange(k, dtype=jnp.int32)), is_stable=True, num_keys=1
     )
-    gs = gt[order]                                       # (K, 16) by gaussian
+    gs = gt[order]                                       # (K, C) by gaussian
     mu = jnp.mean(gs, axis=0, keepdims=True)
     pad = (-k) % 128
     xs = jnp.pad(gs - mu, ((0, pad), (0, 0)))
     cs = _blocked_cumsum(xs)[:k]
     ce = jnp.concatenate([jnp.zeros((1, gs.shape[1]), gs.dtype), cs], axis=0)
-    # per-gaussian runs from the expansion residuals: end[g] = min(cum[g], K)
-    # and start[g] = min(cum[g-1], K) = shifted end — ONE boundary gather.
-    ends = jnp.minimum(cum, k)
-    z = ce[ends]                                         # (N, 16)
+    # per-gaussian runs: [eff_cum[g-1], eff_cum[g]) in sorted-by-gid order
+    # (contiguous, so start[g] = shifted end — ONE boundary gather). The
+    # sentinel tail (gid n-1, zero rows) sorts after gaussian n-1's real run
+    # and therefore never leaks into it.
+    ends = eff_cum.astype(jnp.int32)
+    z = ce[ends]                                         # (N, C)
     z_prev = jnp.concatenate([jnp.zeros_like(z[:1]), z[:-1]], axis=0)
-    run = (ends - jnp.minimum(cum - count, k)).astype(gs.dtype)
-    seg = (z - z_prev) + run[:, None] * mu
-    return seg, None, None, None
+    return (z - z_prev) + eff_count.astype(gs.dtype)[:, None] * mu
+
+
+def _gather_features_bwd(res, g):
+    gid, cum, count, perm, cum_d, count_d, overflow = res
+    seg = segment_sum_by_gid(
+        g, gid, cum, count, perm, cum_d, count_d, overflow
+    )
+    return seg, None, None, None, None, None, None, None
 
 
 gather_features.defvjp(_gather_features_fwd, _gather_features_bwd)
@@ -198,7 +264,7 @@ def gaussian_tile_span(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "capacity", "exact_depth_sort"),
+    static_argnames=("cfg", "capacity", "exact_depth_sort", "with_features"),
     donate_argnums=(),
 )
 def bin_gaussians(
@@ -206,15 +272,21 @@ def bin_gaussians(
     cfg: TileConfig,
     capacity: int,
     exact_depth_sort: bool = False,
+    with_features: bool = True,
 ) -> BinnedInstances:
     """Build the sorted instance lists. ``capacity`` is the static K_cap.
 
-    exact_depth_sort=True forces exact f32 depth ordering via two stable
-    sorts (for bit-exact golden tests); the default packs tile+quantized
-    depth into one key, with more depth resolution than the reference
-    viewer's own 16-bit counting sort.
+    Ordering is always tile-major with *exact* f32 front-to-back depth
+    within each tile (the depth-compact expansion makes it free); the
+    ``exact_depth_sort`` flag is kept for API compatibility but is a no-op —
+    every mode is strictly finer than the reference worker's 2^16-bucket
+    counting sort (index.js:557-567).
     """
-    if proj.mean2d.shape[0] == 0:  # empty scene: all-sentinel instances
+    from splatjax.ops import expand as expand_mod
+
+    del exact_depth_sort  # always exact now (see docstring)
+    n = proj.mean2d.shape[0]
+    if n == 0:  # empty scene: all-sentinel instances
         zero = jnp.zeros((), jnp.int32)
         return BinnedInstances(
             feat=jnp.zeros((FEAT_DIM, capacity), jnp.float32),
@@ -225,96 +297,101 @@ def bin_gaussians(
             num_instances=zero,
             overflow=zero,
         )
+    assert capacity < (1 << 24) and n < (1 << 24), (
+        "indices must stay exact in f32 (the expansion kernel's MXU "
+        "one-hot contraction runs in f32)"
+    )
+    cap_pad = -(-capacity // expand_mod.CHUNK) * expand_mod.CHUNK
+
     x0, x1, y0, y1, count = gaussian_tile_span(proj, cfg)
     span_w = (x1 - x0 + 1).astype(jnp.int32)
+    cum = jnp.cumsum(count)                       # inclusive, original order
+    total = cum[-1]
 
-    cum = jnp.cumsum(count)                       # inclusive
-    total = cum[-1] if count.shape[0] > 0 else jnp.int32(0)
+    # Depth-compact gaussian sort: gaussians WITH instances first, front-to-
+    # back (depth is camera z, negative in front: ascending -depth = near
+    # first); empty ones (culled or off-screen) keyed +inf to the tail so
+    # the visible prefix is gap-free — the expansion kernel's window bound
+    # g(j+C) <= g(j) + C relies on every prefix gaussian having >= 1
+    # instance.
+    has_inst = count > 0
+    dkey = jnp.where(has_inst, -proj.depth.astype(jnp.float32), jnp.inf)
+    _, perm = jax.lax.sort(
+        (dkey, jnp.arange(n, dtype=jnp.int32)), is_stable=True, num_keys=1
+    )
+    n_vis = jnp.sum(has_inst.astype(jnp.int32))
 
-    inst = jnp.arange(capacity, dtype=jnp.int32)
-    # instance j belongs to gaussian g with cum[g-1] <= j < cum[g], i.e.
-    # g(j) = #{i : cum[i] <= j}. Because the queries are exactly arange(CAP),
-    # this searchsorted collapses to a histogram + cumsum — a single
-    # scatter-add (~5 ms at 2M on v5e) instead of a 20-step binary-search
-    # scan (~300 ms) or a sort-based merge (~35 ms).
-    hist = jnp.zeros((capacity + 1,), jnp.int32).at[
-        jnp.clip(cum, 0, capacity)
-    ].add(1, mode="drop")
-    g = jnp.cumsum(hist[:capacity]).astype(jnp.int32)
-    g_safe = jnp.minimum(g, count.shape[0] - 1)
-
-    # TPU gathers pay per ROW, not per byte: gather the five per-gaussian
-    # values needed below as ONE packed (N, 5) int32 table (depth bitcast)
-    # instead of five separate K-sized gathers.
-    table = jnp.stack(
+    # ONE n-row gather builds the depth-ordered expansion table (f32; all
+    # values integral and < 2^24, exact through the kernel's MXU matmul).
+    tbl = jnp.stack(
         [
-            x0, y0, span_w,
-            cum - count,  # base offset of each gaussian's run
-            jax.lax.bitcast_convert_type(
-                -proj.depth.astype(jnp.float32), jnp.int32
-            ),
+            x0.astype(jnp.float32),
+            y0.astype(jnp.float32),
+            span_w.astype(jnp.float32),
+            count.astype(jnp.float32),          # replaced by cum_d below
+            jnp.arange(n, dtype=jnp.float32),   # original gaussian id
+            jnp.zeros((n,), jnp.float32),       # replaced by cum_excl below
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
         ],
         axis=-1,
     )
-    rows = table[g_safe]                          # (capacity, 5)
-    base = rows[:, 3]
-    local = inst - base
-    valid = inst < jnp.minimum(total, capacity)
+    tbl_d = tbl[perm]                             # (n, 8)
+    count_d = tbl_d[:, 3]
+    cum_d = jnp.cumsum(count_d)                   # exact: total < 2^24
+    tbl_d = tbl_d.at[:, expand_mod.COL_CUM_INCL].set(cum_d)
+    tbl_d = tbl_d.at[:, expand_mod.COL_CUM_EXCL].set(cum_d - count_d)
+    # pad lanes: sit after every real lane, so valid instances never select
+    # them (their first match is always a real gaussian); CUM_INCL above any
+    # j and SPANW >= 1 keep the masked-garbage path finite. Vpad is a
+    # 128-multiple for Mosaic's lane-aligned window DMAs.
+    vpad = -(-(n + expand_mod.PAD_G) // 128) * 128
+    pad_row = jnp.array(
+        [0.0, 0.0, 1.0, float(1 << 24), 0.0, 0.0, 0.0, 0.0], jnp.float32
+    )
+    tbl_pad = jnp.concatenate(
+        [tbl_d, jnp.broadcast_to(pad_row, (vpad - n, 8))], axis=0
+    )
+    tbl_t = tbl_pad.T                             # (8, Vpad): gaussians on lanes
 
-    tx = rows[:, 0] + local % rows[:, 2]
-    ty = rows[:, 1] + local // rows[:, 2]
-    tile = ty * cfg.tiles_x + tx
-    tile = jnp.where(valid, tile, cfg.num_tiles).astype(jnp.int32)
+    # g at every 128-instance boundary (g(j) = #{r : cum_d[r] <= j}),
+    # clamped into the gap-free visible prefix
+    j_bounds = jnp.arange(
+        0, cap_pad, expand_mod.SUB, dtype=jnp.int32
+    ).astype(jnp.float32)
+    sub_g0 = jnp.searchsorted(cum_d, j_bounds, side="right").astype(jnp.int32)
+    sub_g0 = jnp.minimum(sub_g0, n_vis)
 
-    # Front-to-back: ascending -depth (depth is camera z, negative in front;
-    # nearest has the largest depth).
-    neg_depth = jax.lax.bitcast_convert_type(rows[:, 4], jnp.float32)
-    neg_depth = jnp.where(valid, neg_depth, jnp.inf)
+    total_i = total.astype(jnp.int32)
+    total_clamped = jnp.minimum(total_i, capacity)
+    tile, gid = expand_mod.expand_instances(
+        tbl_t, sub_g0, total_clamped, cap_pad, cfg.tiles_x,
+        cfg.num_tiles, n,
+    )
 
-    # <= 23 so 2^depth_bits - 1 is exactly representable in f32 (the bucket
-    # is computed in f32; at 24+ bits the clip bound rounds UP and the
-    # bucket spills into the next tile's key range)
-    depth_bits = min(31 - max((cfg.num_tiles + 1).bit_length(), 1), 23)
-    if exact_depth_sort or depth_bits < 14:
-        # two stable sorts: tile-major, exact-f32-depth-minor order
-        _, tile_d, gid_d = jax.lax.sort(
-            (neg_depth, tile, g_safe), is_stable=True, num_keys=1
-        )
-        tile_sorted, gid_sorted = jax.lax.sort(
-            (tile_d, gid_d), is_stable=True, num_keys=1
-        )
-    else:
-        # single sort on a packed (tile << depth_bits | bucket) key. The
-        # depth quantization (>= 2^14 buckets; 2^17 at 1080p) is strictly
-        # finer than the reference worker's 2^16-bucket counting sort
-        # (index.js:557-567), and one 2M-element sort is ~2x cheaper than
-        # two on TPU.
-        nd_valid = jnp.where(
-            proj.mask, -proj.depth.astype(jnp.float32), jnp.nan
-        )
-        dmin = jnp.nanmin(nd_valid)
-        dmax = jnp.nanmax(nd_valid)
-        inv = (2.0 ** depth_bits - 1.0) / jnp.maximum(dmax - dmin, 1e-20)
-        bucket = jnp.clip(
-            ((neg_depth - dmin) * inv), 0.0, 2.0 ** depth_bits - 1.0
-        ).astype(jnp.int32)
-        key = tile * (1 << depth_bits) + jnp.where(valid, bucket, 0)
-        key_sorted, gid_sorted = jax.lax.sort(
-            (key, g_safe), is_stable=True, num_keys=1
-        )
-        tile_sorted = key_sorted >> depth_bits
+    # ONE stable sort by tile id: expansion order is depth-major, so equal
+    # tiles keep exact front-to-back f32 depth order; sentinel tiles
+    # (== num_tiles) sort last and are cut by the [:capacity] slice.
+    tile_sorted, gid_sorted = jax.lax.sort(
+        (tile, gid), is_stable=True, num_keys=1
+    )
+    tile_sorted = tile_sorted[:capacity]
+    gid_sorted = gid_sorted[:capacity]
 
     # tile_sorted is sorted, so end[t] == start[t+1]: one binary-search pass
-    # over T+1 queries instead of separate left/right passes (saves ~3 ms of
-    # the ~6 ms searchsorted cost at 3M instances / 8160 tiles on v5e)
+    # over T+1 queries instead of separate left/right passes
     tile_range = jnp.arange(cfg.num_tiles + 1, dtype=jnp.int32)
     bounds = jnp.searchsorted(tile_sorted, tile_range, side="left")
     starts = bounds[:-1]
     ends = bounds[1:]
 
-    feat = gather_features(
-        features_from_projection(proj), gid_sorted, cum, count
-    )
+    overflow = jnp.maximum(total_i - capacity, 0)
+    feat = None
+    if with_features:
+        feat = gather_features(
+            features_from_projection(proj), gid_sorted, cum, count,
+            perm, cum_d, count_d, overflow,
+        )
 
     return BinnedInstances(
         feat=feat,
@@ -322,6 +399,11 @@ def bin_gaussians(
         tile_id=tile_sorted,
         starts=starts.astype(jnp.int32),
         ends=ends.astype(jnp.int32),
-        num_instances=total,
-        overflow=jnp.maximum(total - capacity, 0),
+        num_instances=total_i,
+        overflow=overflow,
+        cum=cum,
+        count=count,
+        perm=perm,
+        cum_d=cum_d,
+        count_d=count_d,
     )

@@ -1,0 +1,213 @@
+"""Pallas instance-expansion kernel: depth-ordered gaussians -> (tile, gid).
+
+TPU-native replacement for the XLA histogram + per-instance table gather that
+round 1 used to duplicate each gaussian across its overlapped tiles (the
+analogue of building the worker's per-splat draw list, index.js:507-567, but
+tile-binned for a tiled rasterizer).
+
+Key idea: after gaussians are sorted by depth with zero-instance gaussians
+compacted to the end, the instance->gaussian map g(j) is monotone with
+g(j+1) <= g(j) + 1 (every gaussian in the visible prefix has >= 1 instance).
+A subchunk of 128 instances therefore touches at most 129 consecutive table
+rows — a small window a kernel can DMA and "gather" from with a one-hot
+selection matmul on the MXU (TPU has no vector gather; a selection-matrix
+contraction is the idiomatic substitute).
+
+Layout (dictated by Mosaic DMA tiling: HBM slice offsets/sizes on the minor
+dimension must be 128-aligned):
+  * table is (8, Vpad) — columns on sublanes, gaussians on LANES;
+  * each window DMA grabs (8, WINDOW) at a 128-aligned lane offset;
+  * per 128-instance subchunk (instances on SUBLANES):
+        match[u, w] = (j_u < cum_incl[w])      # (128, WINDOW), monotone in w
+        sel         = match * (1 - shift(match))   # one-hot first-match
+        attrs       = sel @ window^T               # (128, 8) via MXU
+    lanes w before g(j0) have cum_incl <= j0, so they never match — the
+    window may start anywhere at or before g(j0);
+  * per-chunk outputs accumulate as (128, 16) columns and are transposed to
+    the (16, 128) output block by an identity matmul (exact for integer
+    values < 2^24), avoiding unsupported layout shuffles.
+
+Cost at 3M instances on v5e: ~2-3 ms, vs ~26 ms for the XLA scatter-add
+histogram + 3M-row table gather it replaces (round-1 stage measurements).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+SUB = 128                      # instances per subchunk (sublane axis)
+GROUP = 2                      # subchunks sharing one window DMA
+SUBS_PER_CHUNK = 16
+CHUNK = SUB * SUBS_PER_CHUNK   # instances per grid step
+WINDOW = 512                   # lanes per window: covers <= 127 + GROUP*128
+                               # + 129 gaussians, 128-aligned
+PAD_G = WINDOW + SUB           # table pad so any window stays in bounds
+
+# table row layout (all values exact in f32; indices < 2^24)
+COL_X0 = 0
+COL_Y0 = 1
+COL_SPANW = 2
+COL_CUM_INCL = 3
+COL_OGID = 4
+COL_CUM_EXCL = 5
+TBL_ROWS = 8
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _expand_kernel(
+    # scalar prefetch
+    sub_g0_ref, scal_ref,
+    # inputs
+    tbl_hbm,
+    # outputs
+    tile_ref, gid_ref,
+    # scratch
+    win_vmem, acc_tile, acc_gid, sems,
+    *, tiles_x: int, num_tiles: int, n_gauss: int, vpad: int,
+):
+    i = pl.program_id(0)
+    total_f = scal_ref[0].astype(jnp.float32)   # min(total, capacity)
+    n_groups = SUBS_PER_CHUNK // GROUP
+
+    def win_off(grp):
+        g0 = sub_g0_ref[i * SUBS_PER_CHUNK + grp * GROUP]
+        off = jnp.minimum((g0 // 128) * 128, vpad - WINDOW)
+        return pl.multiple_of(off, 128)  # both operands are 128-multiples
+
+    # issue all window DMAs for this chunk up front; waits interleave below
+    for grp in range(n_groups):
+        pltpu.make_async_copy(
+            tbl_hbm.at[:, pl.ds(win_off(grp), WINDOW)],
+            win_vmem.at[grp], sems.at[grp],
+        ).start()
+
+    base = i * CHUNK
+    subl = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
+
+    for grp in range(n_groups):
+        pltpu.make_async_copy(
+            tbl_hbm.at[:, pl.ds(win_off(grp), WINDOW)],
+            win_vmem.at[grp], sems.at[grp],
+        ).wait()
+        win = win_vmem[grp]                         # (8, WINDOW)
+        lim = win[COL_CUM_INCL:COL_CUM_INCL + 1, :]  # (1, WINDOW)
+        # selection interval per lane: [lim_prev, lim) = that gaussian's
+        # instance id range. Rolling the (1, W) limit vector once per group
+        # is ~2x cheaper on the VPU than flip-detecting on the full
+        # (SUB, W) match matrix per subchunk. Lane 0's wrapped value is
+        # replaced by -1: if the window starts before g(j0), those lanes
+        # have lim <= j anyway; if it starts AT g(j0), instance j0 must
+        # select lane 0.
+        lim_prev = pltpu.roll(lim, 1, axis=1)
+        lim_prev = jnp.where(lane1 == 0, -1.0, lim_prev)
+        for u in range(GROUP):
+            s = grp * GROUP + u
+            j = (base + s * SUB + subl).astype(jnp.float32)   # (SUB, 1)
+            sel = ((j >= lim_prev) & (j < lim)).astype(jnp.float32)
+            attrs = jax.lax.dot_general(
+                sel, win, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                  # (SUB, 8)
+            x0 = attrs[:, COL_X0:COL_X0 + 1]
+            y0 = attrs[:, COL_Y0:COL_Y0 + 1]
+            spanw = jnp.maximum(attrs[:, COL_SPANW:COL_SPANW + 1], 1.0)
+            ogid = attrs[:, COL_OGID:COL_OGID + 1]
+            cum_ex = attrs[:, COL_CUM_EXCL:COL_CUM_EXCL + 1]
+
+            local = j - cum_ex
+            # integer div via f32: (local+0.5)/spanw lies strictly inside
+            # (r, r+1) for integer operands, so floor is rounding-robust
+            r = jnp.floor((local + 0.5) / spanw)
+            tx = x0 + (local - r * spanw)
+            ty = y0 + r
+            tile = ty * tiles_x + tx
+            valid = j < total_f
+            acc_tile[:, s:s + 1] = jnp.where(valid, tile, float(num_tiles))
+            acc_gid[:, s:s + 1] = jnp.where(valid, ogid, float(n_gauss - 1))
+
+    # exact transpose (128, 16) -> (16, 128) on the MXU: B = I^T-contract(A)
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
+    ).astype(jnp.float32)
+    tile_t = jax.lax.dot_general(
+        acc_tile[:, :], eye, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                               # (16, 128)
+    gid_t = jax.lax.dot_general(
+        acc_gid[:, :], eye, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    tile_ref[:, :] = tile_t.astype(jnp.int32)
+    gid_ref[:, :] = gid_t.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("capacity", "tiles_x", "num_tiles", "n_real")
+)
+def expand_instances(
+    tbl_t: Array,
+    sub_g0: Array,
+    total_clamped: Array,
+    capacity: int,
+    tiles_x: int,
+    num_tiles: int,
+    n_real: int,
+) -> tuple[Array, Array]:
+    """Expand depth-compacted gaussians into (tile, gid) per instance.
+
+    tbl_t: (8, Vpad) f32 depth-ordered table, columns on sublanes (see
+      COL_* layout); Vpad a 128-multiple >= n + PAD_G, pad lanes carrying
+      CUM_INCL > capacity and SPANW >= 1.
+    sub_g0: (capacity/SUB,) int32 — g(j) at each 128-instance boundary,
+      clamped into the gap-free visible prefix.
+    total_clamped: () int32 — min(total instances, capacity).
+    Returns (tile, gid) int32 arrays of shape (capacity,): tile==num_tiles
+    and gid==n_real-1 mark the invalid tail (they sort after all real
+    instances and their gradient rows are zero, so the backward's
+    per-gaussian run arithmetic stays exact — see binning.gather_features).
+    """
+    vpad = int(tbl_t.shape[1])
+    rows = capacity // SUB
+    kernel = functools.partial(
+        _expand_kernel, tiles_x=tiles_x, num_tiles=num_tiles,
+        n_gauss=n_real, vpad=vpad,
+    )
+    n_groups = SUBS_PER_CHUNK // GROUP
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(capacity // CHUNK,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=(
+            pl.BlockSpec((SUBS_PER_CHUNK, SUB), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBS_PER_CHUNK, SUB), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_groups, TBL_ROWS, WINDOW), jnp.float32),
+            pltpu.VMEM((SUB, SUBS_PER_CHUNK), jnp.float32),
+            pltpu.VMEM((SUB, SUBS_PER_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_groups,)),
+        ],
+    )
+    tile, gid = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, SUB), jnp.int32),
+            jax.ShapeDtypeStruct((rows, SUB), jnp.int32),
+        ),
+        interpret=_use_interpret(),
+    )(sub_g0, total_clamped.reshape(1).astype(jnp.int32), tbl_t)
+    return tile.reshape(capacity), gid.reshape(capacity)

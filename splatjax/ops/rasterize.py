@@ -9,22 +9,38 @@ the *lane* axis:
   alpha      = exp(power) * opacity          (power >= -4, index.js:170-175)
   T_within   = exclusive cumprod(1 - alpha)  along the chunk (lane scan)
   rgb       += sum_k alpha_k * T_k * color_k
+  depth_out += sum_k alpha_k * T_k * depth_k     (expected splat depth)
   T         *= prod_k (1 - alpha_k)
 
 with whole-tile early termination once max(T) < eps. This equals the
 viewer's back-to-front "over" blend (index.js:177-181) exactly when eps=0.
+An optional per-pixel z-buffer culls fragments BEHIND opaque geometry
+inside the sweep — the analogue of the viewer rendering splats with
+depthTest:true against the scene depth buffer (index.js:177-181,
+index.html:9-14's spheres intersecting the splat volume).
 
 Memory layout (chosen for Mosaic's (sublane, lane)=(8, 128) tiling rules):
-  * features are FEATURE-MAJOR ``(9, K_pad)`` in HBM so a chunk DMA is a
-    strided (9, 128) block;
+  * instance features are PACKED 8-row int32, feature-major ``(8, K_pad)``
+    in HBM — v5e row/chunk movement costs scale with bytes, and the
+    dominant post-sort feature gather is ~30% cheaper at 32 B than at the
+    naive 64 B float layout (measured 17.3 vs 23.5 ms at 3M rows). Packing:
+
+      row 0-4: f32 bits of mean2d.x, mean2d.y, conic a, b, c
+      row 5:   (r_u16 << 16) | g_u16      color quantized to 1/65535
+      row 6:   (b_u16 << 16) | o_u16      (max error 7.6e-6 — far inside
+      row 7:   f32 bits of camera depth    the 1e-3 viewer-parity budget)
+
+    The int32 container (not f32) keeps arbitrary bit patterns safe from
+    NaN canonicalization anywhere in the XLA pipeline.
   * tile ranges need not be 128-aligned — the kernel rounds the DMA window
     down to a 128 boundary and masks instances outside [start, end);
-  * per-tile output is ``(P, 8)``: channels r, g, b, T_final (4 spare),
-    written with lane slices (no in-kernel transposes anywhere).
+  * per-tile output is ``(P, 8)``: channels r, g, b, T_final, chunks_done,
+    expected_depth (2 spare), written with lane slices.
 
-Feature row layout (16 rows):
+The UNPACKED per-gaussian feature layout (16 f32 rows, used at the
+differentiable boundary and for gradients):
   0 mean2d.x  1 mean2d.y  2 conic.a  3 conic.b  4 conic.c
-  5 color.r   6 color.g   7 color.b  8 opacity  9-15 pad
+  5 color.r   6 color.g   7 color.b  8 opacity  9 depth  10-15 pad
 """
 from __future__ import annotations
 
@@ -42,11 +58,10 @@ Array = jax.Array
 
 CHUNK = 128  # gaussians composited per inner step (lane axis)
 
-# Kernel-facing feature rows: Mosaic requires DMA slice sublane dims to be
-# multiples of 8, so the narrow (9, K) feature array (binning.FEAT_DIM) is
-# zero-padded to 16 rows at the kernel boundary. The expensive per-instance
-# row gathers stay on the 9-row layout (row-gather cost scales with bytes);
-# this pad/slice is a cheap sequential copy.
+# Packed kernel-facing feature rows (int32, see module docstring).
+PACKED_ROWS = 8
+# Unpacked gradient/feature rows (f32): 10 used, padded to 16 for aligned
+# segment-sum windows.
 FEAT_PAD = 16
 
 
@@ -54,14 +69,77 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def pad_features(feat_fm: Array) -> Array:
-    """Pad (9, K) -> (FEAT_PAD, K_pad) so chunk DMAs are aligned and never
-    run off the end."""
-    k = feat_fm.shape[1]
-    k_pad = (-(-k // CHUNK)) * CHUNK + CHUNK
-    return jnp.pad(
-        feat_fm, ((0, FEAT_PAD - feat_fm.shape[0]), (0, k_pad - k))
+def _quant16(x: Array) -> Array:
+    """[0,1] -> u16 as int32 (round-to-nearest)."""
+    return jnp.floor(
+        jnp.clip(x, 0.0, 1.0) * 65535.0 + 0.5
+    ).astype(jnp.int32)
+
+
+def pack_feature_rows(feat_fm: Array) -> Array:
+    """Unpacked (>=10, K) f32 feature-major rows -> packed (8, K) int32."""
+    bits = jax.lax.bitcast_convert_type(feat_fm[0:5], jnp.int32)   # (5, K)
+    r = _quant16(feat_fm[5])
+    g = _quant16(feat_fm[6])
+    b = _quant16(feat_fm[7])
+    o = _quant16(feat_fm[8])
+    if feat_fm.shape[0] > 9:
+        depth = feat_fm[9]
+    else:
+        depth = jnp.zeros_like(feat_fm[0])
+    dbits = jax.lax.bitcast_convert_type(depth, jnp.int32)
+    return jnp.concatenate(
+        [
+            bits,
+            ((r << 16) | g)[None, :],
+            ((b << 16) | o)[None, :],
+            dbits[None, :],
+        ],
+        axis=0,
     )
+
+
+def pack_feature_table(feat_n: Array) -> Array:
+    """Unpacked (N, >=10) f32 per-gaussian features -> packed (N, 8) int32
+    (row-major, the gather source layout)."""
+    bits = jax.lax.bitcast_convert_type(feat_n[:, 0:5], jnp.int32)
+    r = _quant16(feat_n[:, 5])
+    g = _quant16(feat_n[:, 6])
+    b = _quant16(feat_n[:, 7])
+    o = _quant16(feat_n[:, 8])
+    depth = feat_n[:, 9] if feat_n.shape[1] > 9 else jnp.zeros_like(feat_n[:, 0])
+    dbits = jax.lax.bitcast_convert_type(depth, jnp.int32)
+    return jnp.concatenate(
+        [
+            bits,
+            ((r << 16) | g)[:, None],
+            ((b << 16) | o)[:, None],
+            dbits[:, None],
+        ],
+        axis=1,
+    )
+
+
+def unpack_chunk(chunk_i32: Array):
+    """Packed (8, C) int32 -> tuple of (1, C) f32 feature rows
+    (mx, my, ca, cb, cc, r, g, b, opa, depth)."""
+    f = jax.lax.bitcast_convert_type(chunk_i32[0:5, :], jnp.float32)
+    rg = chunk_i32[5:6, :]
+    bo = chunk_i32[6:7, :]
+    inv = jnp.float32(1.0 / 65535.0)
+    r = ((rg >> 16) & 0xFFFF).astype(jnp.float32) * inv
+    g = (rg & 0xFFFF).astype(jnp.float32) * inv
+    b = ((bo >> 16) & 0xFFFF).astype(jnp.float32) * inv
+    o = (bo & 0xFFFF).astype(jnp.float32) * inv
+    depth = jax.lax.bitcast_convert_type(chunk_i32[7:8, :], jnp.float32)
+    return (f[0:1], f[1:2], f[2:3], f[3:4], f[4:5], r, g, b, o, depth)
+
+
+def pad_packed(feat_pk: Array) -> Array:
+    """Pad packed (8, K) -> (8, K_pad) so chunk DMAs never run off the end."""
+    k = feat_pk.shape[1]
+    k_pad = (-(-k // CHUNK)) * CHUNK + CHUNK
+    return jnp.pad(feat_pk, ((0, 0), (0, k_pad - k)))
 
 
 def _pixel_grids(cfg: TileConfig, tile_idx):
@@ -130,39 +208,48 @@ def _suffix_cumsum_lanes(x):
     return x
 
 
-def _chunk_alpha(chunk, px, py, kidx, start, end, alpha_clip):
-    """Alpha matrix (P, CHUNK) for one feature chunk at tile pixels.
+def _chunk_alpha(chunk, px, py, kidx, start, end, alpha_clip, zb=None):
+    """Alpha matrix (P, CHUNK) for one packed feature chunk at tile pixels.
 
-    chunk: (9, CHUNK) feature-major; kidx: (1, CHUNK) absolute instance ids.
+    chunk: (8, CHUNK) int32 packed; kidx: (1, CHUNK) absolute instance ids;
+    zb: optional (P, 1) per-pixel z-buffer (camera z, -inf = unoccluded) —
+    fragments at or behind it are discarded (depthTest analogue,
+    index.js:177-181).
+    Returns (alpha, rows, dx, dy, in_range) with rows the unpacked feature
+    tuple from :func:`unpack_chunk`.
     """
-    mean_x = chunk[0:1, :]
-    mean_y = chunk[1:2, :]
-    ca = chunk[2:3, :]
-    cb = chunk[3:4, :]
-    cc = chunk[4:5, :]
-    opa = chunk[8:9, :]
+    rows = unpack_chunk(chunk)
+    mean_x, mean_y, ca, cb, cc = rows[0], rows[1], rows[2], rows[3], rows[4]
+    opa = rows[8]
     dx = px - mean_x                       # (P, CHUNK)
     dy = py - mean_y
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     in_range = (kidx >= start) & (kidx < end)
     valid = in_range & (power >= -4.0)     # exp(-4) cutoff, index.js:172
+    if zb is not None:
+        # camera z is negative in front; nearer = larger. A fragment at
+        # depth <= z-buffer is occluded by opaque geometry.
+        valid = valid & (rows[9] > zb)     # (P, CHUNK) broadcast
     alpha = jnp.where(valid, jnp.exp(power), 0.0) * opa
     if alpha_clip is not None:
         alpha = jnp.minimum(alpha, alpha_clip)
-    return alpha, dx, dy, power, in_range
+    return alpha, rows, dx, dy, in_range
 
 
 def _fwd_kernel(
     # scalar prefetch
     starts_ref, ends_ref,
     # inputs
-    feat_hbm,
-    # outputs
-    out_ref,
-    # scratch
-    feat_vmem, sem,
-    *, cfg: TileConfig, alpha_clip, early_stop,
+    feat_hbm, *maybe_zbuf_and_outs,
+    # then: out_ref, scratch (feat_vmem, sem)
+    cfg: TileConfig, alpha_clip, early_stop, has_zbuf: bool,
 ):
+    if has_zbuf:
+        zbuf_ref, out_ref, feat_vmem, sem = maybe_zbuf_and_outs
+        zb = zbuf_ref[0, :, 0:1]           # (P, 1) camera-z buffer
+    else:
+        out_ref, feat_vmem, sem = maybe_zbuf_and_outs
+        zb = None
     t = pl.program_id(0)
     p = cfg.pixels_per_tile
     start = starts_ref[t]
@@ -196,8 +283,8 @@ def _fwd_kernel(
         dma(c % 2, c).wait()
         chunk = feat_vmem[c % 2]
         kidx = _lane_iota(CHUNK) + (astart + c * CHUNK)
-        alpha, _, _, _, _ = _chunk_alpha(
-            chunk, px, py, kidx, start, end, alpha_clip
+        alpha, rows, _, _, _ = _chunk_alpha(
+            chunk, px, py, kidx, start, end, alpha_clip, zb
         )
         om = 1.0 - alpha
         cum = _cumprod_lanes(om)                          # (P, CHUNK)
@@ -205,11 +292,11 @@ def _fwd_kernel(
         col0 = _lane_iota(CHUNK) == 0
         t_excl = jnp.where(col0, 1.0, rolled)             # exclusive cumprod
         w = alpha * t_excl * t_vec                        # (P, CHUNK)
-        # rgb accumulation as ONE small MXU pass instead of three VPU
-        # lane-tree reductions: (P, K) @ (K, 4)
+        # rgb + expected-depth accumulation as ONE small MXU pass instead
+        # of four VPU lane-tree reductions: (P, K) @ (K, 4)
         colmat = jnp.concatenate(
-            [chunk[5:8, :], jnp.zeros((1, CHUNK), jnp.float32)], axis=0
-        )
+            [rows[5], rows[6], rows[7], rows[9]], axis=0
+        )                                                 # (4, CHUNK)
         acc = acc + jax.lax.dot_general(
             w, colmat, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,  # full f32: parity at 1e-3
@@ -258,39 +345,52 @@ def _fwd_kernel(
     # chunks-done count rides in spare channel 4 (exact in f32 up to 2^24);
     # a dedicated per-tile SMEM output would blow the 1MB SMEM budget at 1080p
     out_ref[0, :, 4:5] = jnp.full((p, 1), 0.0, jnp.float32) + c_done.astype(jnp.float32)
-    out_ref[0, :, 5:8] = jnp.zeros((p, 3), jnp.float32)
+    out_ref[0, :, 5:6] = acc[:, 3:4]   # expected depth sum_k a_k T_k d_k
+    out_ref[0, :, 6:8] = jnp.zeros((p, 2), jnp.float32)
 
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "alpha_clip", "early_stop")
 )
-def rasterize_tiles_fwd(
-    feat_fm: Array,
+def rasterize_packed_fwd(
+    feat_pk: Array,
     starts: Array,
     ends: Array,
     cfg: TileConfig,
     alpha_clip: Optional[float] = None,
     early_stop: float = 1e-4,
+    zbuf: Optional[Array] = None,
 ):
-    """Pallas forward.
+    """Pallas forward on packed features.
 
-    feat_fm: (9, K) feature-major instance features (sorted).
-    Returns (out_tiles (T, P, 8) [r,g,b,T_final,...], chunks_done (T,)).
+    feat_pk: (8, K) int32 packed feature-major instance rows (sorted).
+    zbuf: optional (T, P, 1) camera-z buffer for opaque-geometry occlusion.
+    Returns (out_tiles (T, P, 8) [r,g,b,T_final,chunks,depth,..],
+    chunks_done (T,)).
     """
     t_tiles = cfg.num_tiles
     p = cfg.pixels_per_tile
-    feat_pad = pad_features(feat_fm)
+    feat_pad = pad_packed(feat_pk)
     kernel = functools.partial(
-        _fwd_kernel, cfg=cfg, alpha_clip=alpha_clip, early_stop=early_stop
+        _fwd_kernel, cfg=cfg, alpha_clip=alpha_clip, early_stop=early_stop,
+        has_zbuf=zbuf is not None,
     )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+    inputs = [feat_pad]
+    if zbuf is not None:
+        in_specs.append(
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(zbuf)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT_PAD, CHUNK), jnp.float32),
+            pltpu.VMEM((2, PACKED_ROWS, CHUNK), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -299,8 +399,25 @@ def rasterize_tiles_fwd(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_tiles, p, 8), jnp.float32),
         interpret=_use_interpret(),
-    )(starts, ends, feat_pad)
+    )(starts, ends, *inputs)
     return out, out[:, 0, 4].astype(jnp.int32)
+
+
+def rasterize_tiles_fwd(
+    feat_fm: Array,
+    starts: Array,
+    ends: Array,
+    cfg: TileConfig,
+    alpha_clip: Optional[float] = None,
+    early_stop: float = 1e-4,
+    zbuf: Optional[Array] = None,
+):
+    """Forward on UNPACKED (>=9, K) f32 feature rows (compat surface;
+    packs and runs the packed kernel)."""
+    return rasterize_packed_fwd(
+        pack_feature_rows(feat_fm), starts, ends, cfg,
+        alpha_clip=alpha_clip, early_stop=early_stop, zbuf=zbuf,
+    )
 
 
 def rasterize_tiles_xla(
@@ -380,3 +497,32 @@ def tiles_to_image(
         rgb = rgb + (1.0 - alpha)[..., None] * background
     img = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
     return img[::-1]  # y-up tiles -> row 0 on top
+
+
+def tiles_to_depth(out_tiles: Array, cfg: TileConfig) -> Array:
+    """Assemble the expected-depth channel into an (H, W) map, row 0 top.
+
+    Values are alpha-weighted camera-z sums (sum_k a_k T_k d_k, negative in
+    front of the camera, 0 where nothing rendered); divide by the image's
+    alpha channel for the alpha-normalized expected depth.
+    """
+    ty_n, tx_n = cfg.tiles_y, cfg.tiles_x
+    th, tw = cfg.tile_h, cfg.tile_w
+    x = out_tiles[:, :, 5].reshape(ty_n, tx_n, th, tw)
+    x = x.transpose(0, 2, 1, 3).reshape(ty_n * th, tx_n * tw)
+    return x[: cfg.height, : cfg.width][::-1]
+
+
+def zbuffer_to_tiles(zbuf_img: Array, cfg: TileConfig) -> Array:
+    """(H, W) camera-z buffer (row 0 top; -inf = empty) -> (T, P, 1) tile
+    layout consumed by the rasterizer kernels."""
+    ty_n, tx_n = cfg.tiles_y, cfg.tiles_x
+    th, tw = cfg.tile_h, cfg.tile_w
+    x = jnp.asarray(zbuf_img, jnp.float32)[::-1]     # to y-up rows
+    x = jnp.pad(
+        x,
+        ((0, ty_n * th - cfg.height), (0, tx_n * tw - cfg.width)),
+        constant_values=-jnp.inf,
+    )
+    x = x.reshape(ty_n, th, tx_n, tw).transpose(0, 2, 1, 3)
+    return x.reshape(ty_n * tx_n, th * tw, 1)

@@ -37,17 +37,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from splatjax.ops.binning import FEAT_DIM, TileConfig
+from splatjax.ops.binning import FEAT_DIM, TileConfig, segment_sum_by_gid
 from splatjax.ops.rasterize import (
     CHUNK,
     FEAT_PAD,
+    PACKED_ROWS,
     _chunk_alpha,
     _lane_iota,
     _suffix_cumprod_lanes,
     _suffix_cumsum_lanes,
     _pixel_grids,
     _use_interpret,
-    pad_features,
+    pack_feature_rows,
+    pack_feature_table,
+    pad_packed,
+    rasterize_packed_fwd,
     rasterize_tiles_fwd,
 )
 
@@ -57,15 +61,20 @@ Array = jax.Array
 def _bwd_kernel(
     # scalar prefetch
     starts_ref, ends_ref, chunks_ref,
-    # inputs
-    feat_hbm, zeros_hbm, g_out_ref, out_saved_ref,
-    # output (aliased with zeros_hbm)
-    g_feat_hbm,
-    # scratch
-    feat_vmem, g_old_vmem, g_new_vmem, sem_feat, sem_old, sem_out,
-    *, cfg: TileConfig, alpha_clip,
+    # inputs: feat, zeros, g_out, out_saved [, zbuf]
+    feat_hbm, zeros_hbm, g_out_ref, out_saved_ref, *rest,
+    # then: g_feat_hbm (aliased with zeros_hbm) + scratch
+    cfg: TileConfig, alpha_clip, has_zbuf: bool,
 ):
     del zeros_hbm  # aliased storage for g_feat_hbm; only read via the alias
+    if has_zbuf:
+        (zbuf_ref, g_feat_hbm, feat_vmem, g_old_vmem, g_new_vmem,
+         sem_feat, sem_old, sem_out) = rest
+        zb = zbuf_ref[0, :, 0:1]
+    else:
+        (g_feat_hbm, feat_vmem, g_old_vmem, g_new_vmem,
+         sem_feat, sem_old, sem_out) = rest
+        zb = None
     t = pl.program_id(0)
     start = starts_ref[t]
     end = ends_ref[t]
@@ -77,6 +86,7 @@ def _bwd_kernel(
     g_g = g_out_ref[0, :, 1:2]
     g_b = g_out_ref[0, :, 2:3]
     g_tf = g_out_ref[0, :, 3:4]
+    g_d = g_out_ref[0, :, 5:6]          # expected-depth cotangent
     t_final = out_saved_ref[0, :, 3:4]
 
     # Walk chunks in reverse: iteration i handles chunk c = c_done-1-i.
@@ -127,8 +137,8 @@ def _bwd_kernel(
         feat_dma(i).wait()
         chunk = feat_vmem[i % 2]
         kidx = _lane_iota(CHUNK) + base
-        alpha, dx, dy, power, in_range = _chunk_alpha(
-            chunk, px, py, kidx, start, end, alpha_clip
+        alpha, rows, dx, dy, in_range = _chunk_alpha(
+            chunk, px, py, kidx, start, end, alpha_clip, zb
         )
         om = 1.0 - alpha
         # suffix inclusive cumprod along lanes: Q_k = prod_{j>=k} om_j
@@ -136,14 +146,14 @@ def _bwd_kernel(
         q_ok = q > 0.0
         t_k = jnp.where(q_ok, t_after / jnp.where(q_ok, q, 1.0), 0.0)
 
-        col_r = chunk[5:6, :]
-        col_g = chunk[6:7, :]
-        col_b = chunk[7:8, :]
+        col_r, col_g, col_b = rows[5], rows[6], rows[7]
+        depth_row = rows[9]
         # The per-channel exclusive suffix sums S_i^c = sum_{j>i} a_j T_j c_j
         # enter g_alpha only as sum_c gc * S_i^c, and the pixel cotangents gc
         # are lane-independent — so ONE scan of the pre-weighted combination
-        # u = a T (g_r c_r + g_g c_g + g_b c_b) replaces three channel scans.
-        gdotc = g_r * col_r + g_g * col_g + g_b * col_b
+        # u = a T (g_r c_r + g_g c_g + g_b c_b + g_d d) replaces four
+        # channel scans (depth is blended exactly like a color channel).
+        gdotc = g_r * col_r + g_g * col_g + g_b * col_b + g_d * depth_row
         u = alpha * t_k * gdotc                  # (P, CHUNK)
         inc_u = _suffix_cumsum_lanes(u)
         sx_u = inc_u - u + s_u                   # exclusive suffix + carry
@@ -159,16 +169,14 @@ def _bwd_kernel(
         # Caveat: at opa <= 1e-12 this underestimates the opacity gradient
         # (true d(alpha)/d(opa) = exp(power)); such splats are invisible and
         # post-sigmoid opacities never reach exact 0.
-        opa = chunk[8:9, :]
+        opa = rows[8]
         dexp = alpha / jnp.where(jnp.abs(opa) > 1e-12, opa, 1e-12)
         if alpha_clip is not None:
             # min(raw*opa, clip) clipped  <=>  alpha >= clip
             g_alpha = jnp.where(alpha < alpha_clip, g_alpha, 0.0)
         g_alpha = jnp.where(in_range, g_alpha, 0.0)
         g_power = g_alpha * alpha                 # d(exp(p)*o)/dp = alpha
-        ca = chunk[2:3, :]
-        cb = chunk[3:4, :]
-        cc = chunk[4:5, :]
+        ca, cb, cc = rows[2], rows[3], rows[4]
         g_a = jnp.sum(g_power * (-0.5 * dx * dx), axis=0, keepdims=True)
         g_bq = jnp.sum(g_power * (-dx * dy), axis=0, keepdims=True)
         g_c = jnp.sum(g_power * (-0.5 * dy * dy), axis=0, keepdims=True)
@@ -179,10 +187,11 @@ def _bwd_kernel(
         g_cr = jnp.sum(g_r * w, axis=0, keepdims=True)
         g_cg = jnp.sum(g_g * w, axis=0, keepdims=True)
         g_cb = jnp.sum(g_b * w, axis=0, keepdims=True)
+        g_dep = jnp.sum(g_d * w, axis=0, keepdims=True)
 
         grow = jnp.concatenate(
-            [g_mx, g_my, g_a, g_bq, g_c, g_cr, g_cg, g_cb, g_opa,
-             jnp.zeros((FEAT_PAD - 9, CHUNK), jnp.float32)],
+            [g_mx, g_my, g_a, g_bq, g_c, g_cr, g_cg, g_cb, g_opa, g_dep,
+             jnp.zeros((FEAT_PAD - 10, CHUNK), jnp.float32)],
             axis=0,
         )
         # wait for the write issued two iterations ago before reusing its
@@ -241,27 +250,38 @@ def _bwd_kernel(
 
 
 def _bwd_pallas(
-    feat_pad, starts, ends, chunks_done, out_saved, g_out,
-    cfg: TileConfig, alpha_clip,
+    feat_pk_pad, starts, ends, chunks_done, out_saved, g_out,
+    cfg: TileConfig, alpha_clip, zbuf=None,
 ):
     t_tiles = cfg.num_tiles
     p = cfg.pixels_per_tile
-    kernel = functools.partial(_bwd_kernel, cfg=cfg, alpha_clip=alpha_clip)
-    zeros = jnp.zeros_like(feat_pad)
+    k_pad = feat_pk_pad.shape[1]
+    kernel = functools.partial(
+        _bwd_kernel, cfg=cfg, alpha_clip=alpha_clip, has_zbuf=zbuf is not None
+    )
+    zeros = jnp.zeros((FEAT_PAD, k_pad), jnp.float32)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # feat (packed)
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # zeros->alias
+        pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),  # g_out
+        pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),  # saved fwd out (T_final)
+    ]
+    inputs = [feat_pk_pad, zeros, g_out, out_saved]
+    if zbuf is not None:
+        in_specs.append(
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(zbuf)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(t_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # feat
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # zeros->alias
-            pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # g_out
-            pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # saved fwd out (T_final)
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT_PAD, CHUNK), jnp.float32),
+            pltpu.VMEM((2, PACKED_ROWS, CHUNK), jnp.int32),
             pltpu.VMEM((2, FEAT_PAD, CHUNK), jnp.float32),
             pltpu.VMEM((2, FEAT_PAD, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -272,11 +292,11 @@ def _bwd_pallas(
     g_feat = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(feat_pad.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((FEAT_PAD, k_pad), jnp.float32),
         input_output_aliases={4: 0},  # zeros input (after 3 scalars) -> out
         interpret=_use_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, ends, chunks_done, feat_pad, zeros, g_out, out_saved)
+    )(starts, ends, chunks_done, *inputs)
     return g_feat
 
 
@@ -289,10 +309,15 @@ def rasterize_tiles(
     alpha_clip: Optional[float] = None,
     early_stop: float = 1e-4,
 ):
-    """Differentiable tiled rasterization.
+    """Differentiable tiled rasterization (per-instance feature surface).
 
-    feat_fm: (9, K) feature-major sorted instance features.
-    Returns (out_tiles (T, P, 8) [r,g,b,T_final,...], chunks_done (T,)).
+    feat_fm: (>=10, K) feature-major sorted instance features (f32,
+    unpacked layout — see ops/rasterize.py); gradients come back in the
+    same layout. The kernel runs on the packed representation internally;
+    color/opacity pass through a 1/65535 quantization whose gradient is
+    straight-through.
+    Returns (out_tiles (T, P, 8) [r,g,b,T_final,chunks,depth,..],
+    chunks_done (T,)).
     """
     return rasterize_tiles_fwd(
         feat_fm, starts, ends, cfg, alpha_clip=alpha_clip,
@@ -301,24 +326,96 @@ def rasterize_tiles(
 
 
 def _fwd_rule(feat_fm, starts, ends, cfg, alpha_clip, early_stop):
-    out = rasterize_tiles_fwd(
-        feat_fm, starts, ends, cfg, alpha_clip=alpha_clip,
+    feat_pk = pack_feature_rows(feat_fm)
+    out = rasterize_packed_fwd(
+        feat_pk, starts, ends, cfg, alpha_clip=alpha_clip,
         early_stop=early_stop,
     )
     out_tiles, chunks_done = out
-    return out, (feat_fm, starts, ends, out_tiles, chunks_done)
+    return out, (feat_pk, starts, ends, out_tiles, chunks_done)
 
 
 def _bwd_rule(cfg, alpha_clip, early_stop, residuals, cotangents):
     del early_stop
-    feat_fm, starts, ends, out_tiles, chunks_done = residuals
+    feat_pk, starts, ends, out_tiles, chunks_done = residuals
     g_out, _ = cotangents
-    feat_pad = pad_features(feat_fm)
     g_feat = _bwd_pallas(
-        feat_pad, starts, ends, chunks_done, out_tiles,
+        pad_packed(feat_pk), starts, ends, chunks_done, out_tiles,
         g_out.astype(jnp.float32), cfg, alpha_clip,
     )
-    return g_feat[:FEAT_DIM, : feat_fm.shape[1]], None, None
+    return g_feat[:FEAT_DIM, : feat_pk.shape[1]], None, None
 
 
 rasterize_tiles.defvjp(_fwd_rule, _bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def rasterize_gathered(
+    feat_n: Array,
+    gid: Array,
+    starts: Array,
+    ends: Array,
+    cum: Array,
+    count: Array,
+    perm: Array,
+    cum_d: Array,
+    count_d: Array,
+    overflow: Array,
+    zbuf: Optional[Array],
+    cfg: TileConfig,
+    alpha_clip: Optional[float] = None,
+    early_stop: float = 1e-4,
+):
+    """Fused gather + rasterize with a single merged VJP.
+
+    The per-instance feature gather and the tile sweep share one custom
+    VJP so the gather can run on the PACKED 32-byte rows (~30% cheaper on
+    v5e than 64-byte float rows) while gradients still flow to the
+    unpacked per-gaussian features: backward runs the packed bwd kernel
+    (10 gradient rows) and transposes the gather with the sort +
+    segment-sum path (binning.segment_sum_by_gid).
+
+    feat_n: (N, 16) f32 unpacked per-gaussian screen features
+    (binning.features_from_projection). gid/starts/ends and the run
+    residuals come from bin_gaussians(..., with_features=False).
+    zbuf: optional (T, P, 1) camera-z buffer (opaque-geometry occlusion).
+    Returns (out_tiles (T, P, 8), chunks_done (T,)).
+    """
+    feat_pk = pack_feature_table(feat_n)[gid].T        # (8, K) int32
+    return rasterize_packed_fwd(
+        feat_pk, starts, ends, cfg, alpha_clip=alpha_clip,
+        early_stop=early_stop, zbuf=zbuf,
+    )
+
+
+def _gathered_fwd_rule(feat_n, gid, starts, ends, cum, count, perm,
+                       cum_d, count_d, overflow, zbuf,
+                       cfg, alpha_clip, early_stop):
+    feat_pk = pack_feature_table(feat_n)[gid].T
+    out = rasterize_packed_fwd(
+        feat_pk, starts, ends, cfg, alpha_clip=alpha_clip,
+        early_stop=early_stop, zbuf=zbuf,
+    )
+    out_tiles, chunks_done = out
+    res = (feat_pk, gid, starts, ends, cum, count, perm, cum_d, count_d,
+           overflow, zbuf, out_tiles, chunks_done)
+    return out, res
+
+
+def _gathered_bwd_rule(cfg, alpha_clip, early_stop, res, cotangents):
+    del early_stop
+    (feat_pk, gid, starts, ends, cum, count, perm, cum_d, count_d,
+     overflow, zbuf, out_tiles, chunks_done) = res
+    g_out, _ = cotangents
+    g_feat = _bwd_pallas(
+        pad_packed(feat_pk), starts, ends, chunks_done, out_tiles,
+        g_out.astype(jnp.float32), cfg, alpha_clip, zbuf=zbuf,
+    )
+    gt = g_feat[:FEAT_DIM, : feat_pk.shape[1]]         # (16, K)
+    seg = segment_sum_by_gid(
+        gt, gid, cum, count, perm, cum_d, count_d, overflow
+    )                                                  # (N, 16)
+    return (seg,) + (None,) * 10
+
+
+rasterize_gathered.defvjp(_gathered_fwd_rule, _gathered_bwd_rule)

@@ -41,15 +41,20 @@ def composite_pixels(
     pixel_xy: Array,
     *,
     alpha_clip: Optional[float] = None,
+    zbuf_px: Optional[Array] = None,
 ) -> Array:
     """Composite all gaussians (front-to-back) at given pixel centers.
 
     pixel_xy: (P, 2) in the y-up screen frame. Returns (P, 4) RGBA.
+    zbuf_px: optional (P,) camera-z of opaque geometry per pixel (-inf =
+    empty): fragments at or behind it are discarded, the reference's
+    depthTest behavior (index.js:177-181).
     """
     order = jnp.argsort(-proj.depth)  # front first (depth<0, near = larger)
     mean2d = proj.mean2d[order]
     conic = proj.conic[order]
     color = proj.color[order]
+    depth = proj.depth[order]
     opacity = jnp.where(proj.mask, proj.opacity, 0.0)[order]
 
     d = pixel_xy[:, None, :] - mean2d[None, :, :]      # (P, N, 2)
@@ -60,6 +65,8 @@ def composite_pixels(
         + conic[None, :, 2] * dy * dy
     )
     alpha = jnp.where(power >= POWER_CUTOFF, jnp.exp(power), 0.0) * opacity[None, :]
+    if zbuf_px is not None:
+        alpha = jnp.where(depth[None, :] > zbuf_px[:, None], alpha, 0.0)
     if alpha_clip is not None:
         alpha = jnp.minimum(alpha, alpha_clip)
 
@@ -83,8 +90,11 @@ def render_projected_reference(
     *,
     pixel_chunk: int = 1024,
     alpha_clip: Optional[float] = None,
+    zbuf: Optional[Array] = None,
 ) -> Array:
-    """Rasterize projected gaussians to an (H, W, 4) image, row 0 on top."""
+    """Rasterize projected gaussians to an (H, W, 4) image, row 0 on top.
+
+    zbuf: optional (H, W) camera-z of opaque geometry (row 0 top)."""
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
     ys = jnp.arange(height, dtype=jnp.float32) + 0.5  # y-up rows
     px, py = jnp.meshgrid(xs, ys)                      # (H, W)
@@ -95,9 +105,21 @@ def render_projected_reference(
     pix = jnp.pad(pix, ((0, pad), (0, 0)))
     chunks = pix.reshape(-1, pixel_chunk, 2)
 
-    out = jax.lax.map(
-        lambda p: composite_pixels(proj, p, alpha_clip=alpha_clip), chunks
-    )
+    if zbuf is not None:
+        zb = jnp.asarray(zbuf, jnp.float32)[::-1].ravel()   # y-up order
+        zb = jnp.pad(zb, (0, pad), constant_values=-jnp.inf)
+        zchunks = zb.reshape(-1, pixel_chunk)
+        out = jax.lax.map(
+            lambda a: composite_pixels(
+                proj, a[0], alpha_clip=alpha_clip, zbuf_px=a[1]
+            ),
+            (chunks, zchunks),
+        )
+    else:
+        out = jax.lax.map(
+            lambda p: composite_pixels(proj, p, alpha_clip=alpha_clip),
+            chunks,
+        )
     img = out.reshape(-1, 4)[:total].reshape(height, width, 4)
     return img[::-1]  # y-up -> row 0 top
 
@@ -110,6 +132,7 @@ def render_reference(
     cutout: Optional[Array] = None,
     pixel_chunk: int = 1024,
     alpha_clip="auto",
+    zbuf: Optional[Array] = None,
 ) -> Array:
     """Ground-truth render of a scene. (H, W, 4) float32 in [0, 1].
 
@@ -147,4 +170,5 @@ def render_reference(
         camera.height,
         pixel_chunk=pixel_chunk,
         alpha_clip=alpha_clip,
+        zbuf=zbuf,
     )

@@ -15,10 +15,18 @@ import jax
 import jax.numpy as jnp
 
 from splatjax.camera import Camera
-from splatjax.ops.binning import TileConfig, bin_gaussians
+from splatjax.ops.binning import (
+    TileConfig,
+    bin_gaussians,
+    features_from_projection,
+)
 from splatjax.ops.projection import project_gaussians
-from splatjax.ops.rasterize import tiles_to_image
-from splatjax.ops.rasterize_vjp import rasterize_tiles
+from splatjax.ops.rasterize import (
+    tiles_to_depth,
+    tiles_to_image,
+    zbuffer_to_tiles,
+)
+from splatjax.ops.rasterize_vjp import rasterize_gathered
 from splatjax.scene import (
     GaussianScene,
     build_covariances,
@@ -58,11 +66,12 @@ def resolve_alpha_clip(alpha_clip, viewer_exact: bool) -> Optional[float]:
     static_argnames=(
         "width", "height", "tile_size", "capacity",
         "alpha_clip", "early_stop", "viewer_exact", "exact_depth_sort",
+        "return_depth",
     ),
 )
 def _render_impl(
     means, scales, quats, colors, opacities, sh,
-    modelview, projection, cutout, background,
+    modelview, projection, cutout, background, zbuf,
     *,
     width: int,
     height: int,
@@ -72,6 +81,7 @@ def _render_impl(
     early_stop: float,
     viewer_exact: bool,
     exact_depth_sort: bool,
+    return_depth: bool,
 ):
     cov3d = build_covariances(quats, scales)
     if viewer_exact:
@@ -85,12 +95,164 @@ def _render_impl(
         sh=sh,
     )
     cfg = TileConfig(width, height, tile_size, tile_size)
-    binned = bin_gaussians(proj, cfg, capacity, exact_depth_sort=exact_depth_sort)
-    out_tiles, _ = rasterize_tiles(
-        binned.feat, binned.starts, binned.ends, cfg, alpha_clip, early_stop
+    binned = bin_gaussians(
+        proj, cfg, capacity, exact_depth_sort=exact_depth_sort,
+        with_features=False,
+    )
+    zbuf_tiles = None if zbuf is None else zbuffer_to_tiles(zbuf, cfg)
+    out_tiles, _ = rasterize_gathered(
+        features_from_projection(proj),
+        binned.gauss_id, binned.starts, binned.ends,
+        binned.cum, binned.count, binned.perm, binned.cum_d, binned.count_d,
+        binned.overflow, zbuf_tiles, cfg, alpha_clip, early_stop,
     )
     img = tiles_to_image(out_tiles, cfg, background)
-    return img, binned.overflow
+    depth = tiles_to_depth(out_tiles, cfg) if return_depth else None
+    return img, depth, binned.overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "tile_size", "capacity",
+        "alpha_clip", "early_stop", "return_depth",
+    ),
+)
+def _render_multi_impl(
+    parts,            # tuple of (means, scales, quats, colors, opacities, sh)
+    models,           # tuple of Optional (4,4) object->world matrices
+    cutouts,          # tuple of Optional (4,4) world->unit-box matrices
+    modelview, projection, background, zbuf,
+    *,
+    width: int, height: int, tile_size: int, capacity: int,
+    alpha_clip: Optional[float], early_stop: float, return_depth: bool,
+):
+    projs = []
+    for (means, scales, quats, colors, opacities, sh), model, cutout in zip(
+        parts, models, cutouts
+    ):
+        mv = modelview if model is None else modelview @ model
+        projs.append(project_gaussians(
+            means, build_covariances(quats, scales), colors, opacities,
+            mv, projection, width, height,
+            max_scales=jnp.max(scales, axis=-1),
+            cutout=cutout, sh=sh,
+        ))
+    proj = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *projs
+    )
+    cfg = TileConfig(width, height, tile_size, tile_size)
+    binned = bin_gaussians(proj, cfg, capacity, with_features=False)
+    zbuf_tiles = None if zbuf is None else zbuffer_to_tiles(zbuf, cfg)
+    out_tiles, _ = rasterize_gathered(
+        features_from_projection(proj),
+        binned.gauss_id, binned.starts, binned.ends,
+        binned.cum, binned.count, binned.perm, binned.cum_d, binned.count_d,
+        binned.overflow, zbuf_tiles, cfg, alpha_clip, early_stop,
+    )
+    img = tiles_to_image(out_tiles, cfg, background)
+    depth = tiles_to_depth(out_tiles, cfg) if return_depth else None
+    return img, depth, binned.overflow
+
+
+def render_instances(
+    instances,
+    camera: Camera,
+    *,
+    tile_size: int = 16,
+    capacity: Optional[int] = None,
+    alpha_clip="auto",
+    early_stop: float = 1e-4,
+    background: Optional[Array] = None,
+    zbuf: Optional[Array] = None,
+    return_depth: bool = False,
+    return_overflow: bool = False,
+):
+    """Render multiple scene instances depth-correctly in ONE pipeline pass.
+
+    The reference's cutout demo draws two entities of the same asset with
+    different world transforms in a single frame (cutout-demo.html:23-25;
+    per-entity object.matrixWorld folded into the modelview at
+    index.js:443-448, 467-487). Here every instance is projected with
+    ``modelview @ model`` and the projected sets are concatenated BEFORE
+    binning, so the global front-to-back sort interleaves instances
+    correctly (two separate render() calls could not composite
+    mid-volume overlaps).
+
+    instances: sequence of (scene, model) or (scene, model, cutout) tuples;
+      model is an object->world (4, 4) matrix or None; cutout a
+      world->unit-box matrix or None (per-instance, like cutoutEntity).
+    """
+    norm = []
+    total = 0
+    for inst in instances:
+        if len(inst) == 2:
+            scene, model = inst
+            cutout = None
+        else:
+            scene, model, cutout = inst
+        total += scene.num_gaussians
+        norm.append((scene, model, cutout))
+    if capacity is None:
+        capacity = default_capacity(total)
+    parts = tuple(
+        (
+            jnp.asarray(s.means, jnp.float32),
+            jnp.asarray(s.scales, jnp.float32),
+            jnp.asarray(s.quats, jnp.float32),
+            jnp.asarray(s.colors, jnp.float32),
+            jnp.asarray(s.opacities, jnp.float32),
+            None if s.sh is None else jnp.asarray(s.sh, jnp.float32),
+        )
+        for s, _, _ in norm
+    )
+    models = tuple(
+        None if m is None else jnp.asarray(m, jnp.float32)
+        for _, m, _ in norm
+    )
+    cutouts = tuple(
+        None if c is None else jnp.asarray(c, jnp.float32)
+        for _, _, c in norm
+    )
+    img, depth, overflow = _render_multi_impl(
+        parts, models, cutouts,
+        camera.modelview, camera.projection,
+        None if background is None else jnp.asarray(background, jnp.float32),
+        None if zbuf is None else jnp.asarray(zbuf, jnp.float32),
+        width=camera.width, height=camera.height, tile_size=tile_size,
+        capacity=capacity,
+        alpha_clip=resolve_alpha_clip(alpha_clip, False),
+        early_stop=early_stop, return_depth=return_depth,
+    )
+    out = (img,)
+    if return_depth:
+        out += (depth,)
+    if return_overflow:
+        out += (overflow,)
+    return out[0] if len(out) == 1 else out
+
+
+def composite_over(
+    splat_img: Array,
+    under_rgb: Array,
+    under_mask: Optional[Array] = None,
+) -> Array:
+    """Under-composite opaque content beneath a rendered splat image.
+
+    The depth-correct mesh+splat frame of the reference demo
+    (index.html:9-14: opaque spheres intersecting the splat volume) is
+    reproduced in two halves: render(..., zbuf=mesh_z) discards splat
+    fragments BEHIND the mesh inside the sweep; this helper then lays the
+    mesh color UNDER the surviving splats: rgb + (1 - alpha) * under_rgb.
+
+    under_rgb: (H, W, 3); under_mask: optional (H, W) bool where opaque
+    content exists (output alpha is 1 there).
+    """
+    rgb = splat_img[..., :3] + (1.0 - splat_img[..., 3:4]) * under_rgb
+    alpha = splat_img[..., 3:4]
+    if under_mask is not None:
+        alpha = jnp.maximum(alpha, under_mask[..., None].astype(alpha.dtype))
+    return jnp.concatenate([rgb, alpha], axis=-1)
 
 
 def render(
@@ -105,7 +267,10 @@ def render(
     exact_depth_sort: bool = False,
     cutout: Optional[Array] = None,
     background: Optional[Array] = None,
+    zbuf: Optional[Array] = None,
+    model: Optional[Array] = None,
     return_overflow: bool = False,
+    return_depth: bool = False,
 ):
     """Render a scene with the tiled TPU pipeline.
 
@@ -128,20 +293,39 @@ def render(
         (two stable sorts) instead of the packed quantized-depth key.
       cutout: optional (4, 4) world->unit-box cull matrix.
       background: optional (3,) RGB composited under the splats.
+      zbuf: optional (H, W) camera-z buffer of opaque geometry (row 0 top,
+        -inf where empty): splat fragments at or behind it are discarded
+        inside the sweep, reproducing the reference's depthTest against
+        scene meshes (index.js:177-181, index.html:9-14).
+      return_depth: also return the (H, W) alpha-weighted expected splat
+        depth map (camera z; divide by alpha for the normalized depth).
+      model: optional (4, 4) object->world transform folded into the
+        modelview exactly as the reference folds object.matrixWorld
+        (index.js:467-487); see render_instances for multi-instance frames.
     """
     if capacity is None:
         capacity = default_capacity(scene.num_gaussians)
-    img, overflow = _render_impl(
+    if scene.num_gaussians == 0:
+        img = jnp.zeros((camera.height, camera.width, 4), jnp.float32)
+        out = (img,)
+        if return_depth:
+            out += (jnp.zeros((camera.height, camera.width), jnp.float32),)
+        if return_overflow:
+            out += (jnp.zeros((), jnp.int32),)
+        return out[0] if len(out) == 1 else out
+    img, depth, overflow = _render_impl(
         jnp.asarray(scene.means, jnp.float32),
         jnp.asarray(scene.scales, jnp.float32),
         jnp.asarray(scene.quats, jnp.float32),
         jnp.asarray(scene.colors, jnp.float32),
         jnp.asarray(scene.opacities, jnp.float32),
         None if scene.sh is None else jnp.asarray(scene.sh, jnp.float32),
-        camera.modelview,
+        camera.modelview if model is None
+        else camera.modelview @ jnp.asarray(model, jnp.float32),
         camera.projection,
         None if cutout is None else jnp.asarray(cutout, jnp.float32),
         None if background is None else jnp.asarray(background, jnp.float32),
+        None if zbuf is None else jnp.asarray(zbuf, jnp.float32),
         width=camera.width,
         height=camera.height,
         tile_size=tile_size,
@@ -150,7 +334,11 @@ def render(
         early_stop=early_stop,
         viewer_exact=viewer_exact,
         exact_depth_sort=exact_depth_sort,
+        return_depth=return_depth,
     )
+    out = (img,)
+    if return_depth:
+        out += (depth,)
     if return_overflow:
-        return img, overflow
-    return img
+        out += (overflow,)
+    return out[0] if len(out) == 1 else out

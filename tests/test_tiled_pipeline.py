@@ -156,46 +156,63 @@ def test_all_culled_scene():
     assert np.all(img[..., 3] == 0.0)
 
 
-def test_gather_features_vjp_matches_scatter_oracle():
-    # The segment-sum backward (sort + blocked cumsum + cum/count residual
-    # boundaries, ops/binning.py) must equal the dense scatter-add transpose
-    # of the row gather — including under capacity truncation, where a
-    # gaussian's instance run is cut mid-way, and with zero-count gaussians.
+def _gather_vjp_case(n, cap, seed, force_truncation):
+    # Simulate bin_gaussians' depth-compact expansion: gaussians with
+    # counts + depths, depth-major instance order, capacity truncation
+    # dropping the depth-farthest instances, arbitrary tile-sort shuffle,
+    # sentinel tail gid n-1.
     from splatjax.ops.binning import gather_features
 
-    rng = np.random.default_rng(3)
-    n, cap = 37, 64
+    rng = np.random.default_rng(seed)
     count = rng.integers(0, 5, size=n).astype(np.int32)
+    depth = -rng.uniform(1.0, 9.0, size=n).astype(np.float32)
     cum = np.cumsum(count).astype(np.int32)
     total = int(cum[-1])
-    assert total > cap  # exercise the truncation branch
+    if force_truncation:
+        assert total > cap
+    # depth-compact order: count>0 first, front-to-back (descending depth)
+    key = np.where(count > 0, -depth, np.inf)
+    perm = np.argsort(key, kind="stable").astype(np.int32)
+    count_d = count[perm].astype(np.float32)
+    cum_d = np.cumsum(count_d).astype(np.float32)
 
-    # gid per instance slot, gaussian-major (the pre-sort expansion order),
-    # truncated at cap; invalid tail slots carry gid n-1 like bin_gaussians
-    gid_full = np.repeat(np.arange(n, dtype=np.int32), count)[:cap]
+    # depth-major instance list, truncated at cap
+    gid_depth = np.repeat(perm, count[perm])[:cap]
+    valid = len(gid_depth)
     gid = np.full((cap,), n - 1, np.int32)
-    gid[: len(gid_full)] = gid_full
-    # an arbitrary permutation stands in for the tile sort; keep the
-    # invalid tail (if any) at the end, as the sentinel keys do
-    perm = rng.permutation(min(total, cap)).astype(np.int32)
-    if cap > total:
-        perm = np.concatenate([perm, np.arange(total, cap, dtype=np.int32)])
-    gid = gid[perm]
+    gid[:valid] = gid_depth
+    shuffle = rng.permutation(valid).astype(np.int32)  # stand-in tile sort
+    gid[:valid] = gid[:valid][shuffle]
 
     feat = rng.normal(size=(n, 16)).astype(np.float32)
     cot = rng.normal(size=(16, cap)).astype(np.float32)
+    cot[:, valid:] = 0.0  # sentinel slots never receive gradients
+    overflow = max(total - cap, 0)
 
     def f(feat):
         return gather_features(
             jnp.asarray(feat), jnp.asarray(gid),
             jnp.asarray(cum), jnp.asarray(count),
+            jnp.asarray(perm), jnp.asarray(cum_d), jnp.asarray(count_d),
+            jnp.asarray(overflow, jnp.int32),
         )
 
     out, vjp = jax.vjp(f, feat)
     (got,) = vjp(jnp.asarray(cot))
+    np.testing.assert_allclose(
+        np.asarray(out), feat[gid].T, rtol=0, atol=0
+    )
 
     expect = np.zeros_like(feat)
-    valid = min(total, cap)
     np.add.at(expect, gid[:valid], cot.T[:valid])
-
     np.testing.assert_allclose(np.asarray(got), expect, rtol=2e-5, atol=2e-5)
+
+
+def test_gather_features_vjp_matches_scatter_oracle():
+    # The segment-sum backward (sort + blocked cumsum + run-boundary
+    # residuals, ops/binning.py) must equal the dense scatter-add transpose
+    # of the row gather — including under capacity truncation, where the
+    # depth-farthest instances are dropped (cutting runs mid-gaussian), and
+    # with zero-count gaussians interleaved.
+    _gather_vjp_case(n=37, cap=64, seed=3, force_truncation=True)
+    _gather_vjp_case(n=23, cap=256, seed=4, force_truncation=False)
