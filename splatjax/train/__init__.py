@@ -1,5 +1,6 @@
 from splatjax.train.loss import combined_loss, l1, psnr, ssim
 from splatjax.train.fit import FitConfig, fit, init_random, make_train_step
+from splatjax.train.densify import DensifyConfig, densify_and_prune
 from splatjax.train.checkpoint import (
     CheckpointManager,
     export_ply,
@@ -7,6 +8,8 @@ from splatjax.train.checkpoint import (
 )
 
 __all__ = [
+    "DensifyConfig",
+    "densify_and_prune",
     "combined_loss",
     "l1",
     "psnr",

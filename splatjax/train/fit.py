@@ -96,7 +96,8 @@ def make_train_step(
         )
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, psnr(img, target)
+        gnorm = jnp.linalg.norm(grads.means, axis=-1)  # densify signal
+        return params, opt_state, loss, psnr(img, target), gnorm
 
     return step, opt
 
@@ -109,19 +110,63 @@ def fit(
     *,
     checkpoint_fn: Optional[Callable[[int, TrainableGaussians], None]] = None,
     checkpoint_every: int = 0,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
+    densify: Optional["DensifyConfig"] = None,
+    densify_seed: int = 0,
     log_fn: Callable[[dict], None] = None,
 ):
     """Optimize gaussians to match target images. Returns (params, history).
 
     targets: (H, W, 3|4) arrays aligned with ``cameras``.
+
+    Crash/resume (SURVEY.md §5 "checkpoint/resume"): pass ``checkpoint_dir``
+    to save the full training state (params + optimizer state) every
+    ``checkpoint_every`` steps via orbax; with ``resume=True`` the latest
+    checkpoint in that directory is restored and training continues from the
+    step after it — a resumed run is step-for-step identical to an
+    uninterrupted one (same jitted step on the same state).
+    ``checkpoint_fn`` remains available as a lightweight callback (e.g. for
+    .splat exports).
+
+    Adaptive density control: pass ``densify=DensifyConfig(...)`` to run
+    3DGS clone/split/prune between jitted steps (see train/densify.py);
+    parameter arrays grow in capacity buckets so recompiles stay
+    O(log growth).
     """
+    import numpy as np
+
     if isinstance(initial, GaussianScene):
         params = TrainableGaussians.from_scene(initial)
     else:
         params = initial
-    capacity = cfg.capacity or default_capacity(params.means.shape[0])
-    step_fn, opt = make_train_step(cameras, cfg, capacity)
+
+    def build_step(n):
+        capacity = cfg.capacity or default_capacity(n)
+        return make_train_step(cameras, cfg, capacity)
+
+    n_rows = params.means.shape[0]
+    step_fn, opt = build_step(n_rows)
     opt_state = opt.init(params)
+
+    alive = np.ones((n_rows,), bool)
+    grad_sum = np.zeros((n_rows,), np.float64)
+    grad_cnt = np.zeros((n_rows,), np.int64)
+    dense_rng = None
+    if densify is not None:
+        from splatjax.train.densify import densify_and_prune
+
+        dense_rng = np.random.default_rng(densify_seed)
+
+    start_step = 0
+    mgr = None
+    if checkpoint_dir is not None:
+        from splatjax.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(checkpoint_dir)
+        if resume and mgr.latest_step() is not None:
+            params, opt_state, ckpt_step = mgr.restore(params, opt_state)
+            start_step = int(ckpt_step)
 
     mvs = [c.modelview for c in cameras]
     projs = [c.projection for c in cameras]
@@ -129,11 +174,30 @@ def fit(
 
     history = []
     t_start = time.time()
-    for i in range(cfg.steps):
+    for i in range(start_step, cfg.steps):
         vi = i % len(cameras)
-        params, opt_state, loss, p = step_fn(
+        params, opt_state, loss, p, gnorm = step_fn(
             params, opt_state, mvs[vi], projs[vi], targets[vi]
         )
+        if densify is not None:
+            grad_sum += np.asarray(gnorm, np.float64)
+            grad_cnt += 1
+            if (
+                densify.start <= i <= densify.stop
+                and (i - densify.start) % densify.every == densify.every - 1
+            ):
+                params, opt_state, alive, rep = densify_and_prune(
+                    params, opt_state, grad_sum, grad_cnt, alive,
+                    densify, dense_rng,
+                )
+                new_n = params.means.shape[0]
+                if new_n != n_rows:
+                    n_rows = new_n
+                    step_fn, _ = build_step(n_rows)
+                grad_sum = np.zeros((n_rows,), np.float64)
+                grad_cnt = np.zeros((n_rows,), np.int64)
+                if log_fn is not None:
+                    log_fn({"step": i, "densify": rep})
         if cfg.log_every and (i % cfg.log_every == 0 or i == cfg.steps - 1):
             rec = {
                 "step": i,
@@ -144,10 +208,15 @@ def fit(
             history.append(rec)
             if log_fn is not None:
                 log_fn(rec)
-        if checkpoint_fn is not None and checkpoint_every and (
-            (i + 1) % checkpoint_every == 0
+        done = i + 1
+        if mgr is not None and checkpoint_every and (
+            done % checkpoint_every == 0 or done == cfg.steps
         ):
-            checkpoint_fn(i + 1, params)
+            mgr.save(done, params, opt_state)
+        if checkpoint_fn is not None and checkpoint_every and (
+            done % checkpoint_every == 0
+        ):
+            checkpoint_fn(done, params)
     return params, history
 
 
