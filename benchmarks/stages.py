@@ -101,55 +101,55 @@ def main():
             max_scales=jnp.max(scales, axis=-1),
         )
 
-    @jax.jit
-    def stage_bin(proj):
-        b = bin_gaussians(proj, cfg, cap)
-        return b.feat, b.starts, b.ends, b.overflow
+    from splatjax.ops.binning import features_from_projection  # noqa: E402
+    from splatjax.ops.rasterize_vjp import rasterize_gathered  # noqa: E402
 
     @jax.jit
-    def stage_rast(feat, starts, ends):
-        out, _ = rasterize_tiles(feat, starts, ends, cfg, 0.999, 1e-4)
+    def stage_bin(proj):
+        # index-only binning: depth-compact sort + Pallas expand + tile sort
+        b = bin_gaussians(proj, cfg, cap, with_features=False)
+        return (b.gauss_id, b.starts, b.ends, b.cum, b.count, b.perm,
+                b.cum_d, b.count_d, b.overflow)
+
+    def _rast(feat_n, b):
+        out, _ = rasterize_gathered(
+            feat_n, b[0], b[1], b[2], b[3], b[4], b[5], b[6], b[7], b[8],
+            None, cfg, 0.999, 1e-4,
+        )
         return out
+
+    @jax.jit
+    def stage_rast(proj, b):
+        # packed per-instance gather + tile sweep (the merged fwd)
+        return _rast(features_from_projection(proj), b)
 
     @jax.jit
     def stage_img(out_tiles):
         return tiles_to_image(out_tiles, cfg, None)
 
     @jax.jit
-    def rast_grad(feat, starts, ends):
-        def loss(f):
-            out, _ = rasterize_tiles(f, starts, ends, cfg, 0.999, 1e-4)
-            return jnp.sum(out[:, :, :4] ** 2)
-        return jax.grad(loss)(feat)
-
-    @jax.jit
-    def bin_grad(proj):
-        # exercises the gather VJP (sort + segment-sum) via mean2d grads
-        def loss(mean2d):
-            import dataclasses as dc
-            p = dc.replace(proj, mean2d=mean2d)
-            b = bin_gaussians(p, cfg, cap)
-            return jnp.sum(b.feat ** 2)
-        return jax.grad(loss)(proj.mean2d)
+    def rast_grad(proj, b):
+        # merged backward: packed bwd kernel + sort/segment-sum transpose
+        def loss(feat_n):
+            return jnp.sum(_rast(feat_n, b)[:, :, :4] ** 2)
+        return jax.grad(loss)(features_from_projection(proj))
 
     timeit = _timer(args.iters)
     proj = stage_proj(*arrs)
     jax.block_until_ready(proj)
-    binned = stage_bin(proj)
-    feat, starts, ends, ov = binned
-    out_tiles = stage_rast(feat, starts, ends)
+    b = stage_bin(proj)
+    out_tiles = stage_rast(proj, b)
 
     result = {
         "n": args.n,
         "res": args.res,
         "capacity": cap,
-        "overflow": int(ov),
+        "overflow": int(b[8]),
         "proj_ms": timeit(stage_proj, *arrs),
-        "binning_ms": timeit(stage_bin, proj),
-        "rasterize_fwd_ms": timeit(stage_rast, feat, starts, ends),
+        "binning_index_ms": timeit(stage_bin, proj),
+        "gather_rasterize_fwd_ms": timeit(stage_rast, proj, b),
         "assembly_ms": timeit(stage_img, out_tiles),
-        "rasterize_fwd_bwd_ms": timeit(rast_grad, feat, starts, ends),
-        "binning_fwd_bwd_ms": timeit(bin_grad, proj),
+        "gather_rasterize_fwd_bwd_ms": timeit(rast_grad, proj, b),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -192,7 +192,12 @@ def _project_f32(
     c = jnp.sum(t1 * u1, axis=-1) + 0.3
 
     mid = 0.5 * (a + c)
-    radius = jnp.sqrt(jnp.square((a - c) / 2.0) + jnp.square(b))
+    # double-where keeps sqrt's backward finite at r2 == 0 (isotropic or
+    # degenerate covariances, e.g. pruned slots during training: a == c,
+    # b == 0 makes d sqrt/d r2 infinite and NaNs the whole gradient tree)
+    r2 = jnp.square((a - c) / 2.0) + jnp.square(b)
+    r2_pos = r2 > 0.0
+    radius = jnp.where(r2_pos, jnp.sqrt(jnp.where(r2_pos, r2, 1.0)), 0.0)
     lam1 = mid + radius
     lam2 = jnp.maximum(mid - radius, 0.1)              # index.js:146
 
@@ -200,10 +205,14 @@ def _project_f32(
     # which is the correct axis-aligned limit (GLSL normalize(0) is undefined
     # there; measure-zero for real scenes).
     vx, vy = b, lam1 - a
-    vnorm = jnp.sqrt(vx * vx + vy * vy)
-    ok = vnorm > 1e-12
-    dvx = jnp.where(ok, vx / jnp.where(ok, vnorm, 1.0), 1.0)
-    dvy = jnp.where(ok, vy / jnp.where(ok, vnorm, 1.0), 0.0)
+    # guard the sqrt *argument*, not just the division: at v2 == 0 (exactly
+    # isotropic or degenerate covariance) sqrt's backward is infinite and
+    # 0-cotangent * inf = NaN even under the outer where
+    v2 = vx * vx + vy * vy
+    ok = v2 > 1e-24
+    vnorm = jnp.sqrt(jnp.where(ok, v2, 1.0))
+    dvx = jnp.where(ok, vx / vnorm, 1.0)
+    dvy = jnp.where(ok, vy / vnorm, 0.0)
 
     len1 = jnp.minimum(jnp.sqrt(2.0 * lam1), 1024.0)   # index.js:148-149
     len2 = jnp.minimum(jnp.sqrt(2.0 * jnp.maximum(lam2, 0.0)), 1024.0)

@@ -3,27 +3,29 @@ rasterization via shard_map.
 
 Design (SURVEY.md §5, BASELINE.json config 5):
 
-  * gaussians are sharded over the mesh axis — each device projects N/D
-    primitives (embarrassingly parallel VPU work);
-  * projected screen-space features (13 floats/gaussian) are all_gathered
-    over ICI — at 1M gaussians that is ~52 MB, far below ICI bandwidth per
-    frame budget;
-  * the image is sharded as horizontal *bands of tile rows* — each device
-    shifts mean2d.y into band-local coordinates and runs the standard
-    binning + Pallas rasterizer for its own band, so the single-chip kernel
-    is reused unchanged;
-  * backward: jax autodiff through shard_map turns the all_gather into a
-    reduce-scatter (psum) of splat gradients automatically, and the
-    projection backward is local to each device's primitive shard.
-
-The band-shift trick means per-device binning only keeps gaussians whose
-quad bbox intersects the band (the off-band ones clamp to an empty span),
-so duplication work also scales ~1/D.
+  * gaussians are sharded over the mesh (1-D axis or a 2-D
+    ('host', 'chip') mesh — pass ``axis`` as a name or tuple of names;
+    collectives ride the flattened axes, so ICI carries the intra-host
+    part and DCN only the cross-host slices);
+  * the image is sharded as horizontal *bands of tile rows* — one band per
+    device — and each device runs the standard binning + fused Pallas
+    rasterizer for its own band, reusing the single-chip kernels
+    unchanged (mean2d.y is shifted into band-local coordinates);
+  * redistribution between the two shardings is an ALL_TO_ALL of exactly
+    the projected gaussians whose screen bbox intersects each band
+    (default), not an all_gather of everything: per-device memory and
+    binning work scale ~1/D instead of O(N). Per (source, dest) transfers
+    are fixed-capacity (static shapes); dropped rows are counted and
+    surfaced. ``redistribute="all_gather"`` keeps the simple O(N)
+    correctness path for comparison;
+  * backward: jax autodiff through shard_map transposes the all_to_all
+    into the reverse all_to_all and the projection backward stays local;
+    parameter gradients reduce over the mesh automatically.
 """
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -31,14 +33,25 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from splatjax.camera import Camera
-from splatjax.ops.binning import TileConfig, bin_gaussians
+from splatjax.ops.binning import (
+    TileConfig,
+    bin_gaussians,
+    features_from_projection,
+)
 from splatjax.ops.projection import ProjectedGaussians, project_gaussians
 from splatjax.ops.rasterize import tiles_to_image
-from splatjax.ops.rasterize_vjp import rasterize_tiles
-from splatjax.render import default_capacity
+from splatjax.ops.rasterize_vjp import rasterize_gathered
+from splatjax.render import default_capacity, resolve_alpha_clip
 from splatjax.scene import GaussianScene, build_covariances
 
 Array = jax.Array
+AxisName = Union[str, Sequence[str]]
+
+# Max bands a single gaussian may be duplicated into during redistribution.
+# A band is >= one tile row (16 px); at sane capacities a splat's rendered
+# bbox rarely spans more than 2 bands — spans beyond MAX_BANDS are counted
+# as dropped (surfaced via return_overflow), not silently lost.
+MAX_BANDS = 4
 
 
 def _pack_projected(proj: ProjectedGaussians) -> Array:
@@ -76,37 +89,61 @@ def padded_band_height(height: int, n_devices: int, tile: int) -> int:
     return rows_per_dev * tile
 
 
+def _axis_flat_index(axis: AxisName):
+    if isinstance(axis, str):
+        return jax.lax.axis_index(axis)
+    idx = jax.lax.axis_index(axis[0])
+    for name in axis[1:]:
+        idx = idx * jax.lax.axis_size(name) + jax.lax.axis_index(name)
+    return idx
+
+
+def _mesh_axis_size(mesh: Mesh, axis: AxisName) -> int:
+    if isinstance(axis, str):
+        return mesh.shape[axis]
+    out = 1
+    for name in axis:
+        out *= mesh.shape[name]
+    return out
+
+
 def render_sharded(
     scene: GaussianScene,
     camera: Camera,
     mesh: Mesh,
     *,
-    axis: str = "dev",
+    axis: AxisName = "dev",
     tile_size: int = 16,
     capacity: Optional[int] = None,
+    pair_capacity: Optional[int] = None,
     alpha_clip="auto",
     early_stop: float = 1e-4,
+    redistribute: str = "all_to_all",
     return_overflow: bool = False,
 ) -> Array:
-    """Render across all devices of ``mesh`` (1-D axis). Returns (H, W, 4)
-    (or ``(image, overflow)`` with ``return_overflow=True``, where overflow
-    is the (D,) per-band count of instances dropped at capacity).
+    """Render across the devices of ``mesh``. Returns (H, W, 4) (or
+    ``(image, overflow)`` with ``return_overflow=True``, where overflow is
+    the (D,) per-band count of instances dropped at any capacity:
+    per-pair transfer caps, MAX_BANDS spans, or binning capacity).
 
-    Gaussian count must divide by the axis size (pad the scene if needed);
-    per-device instance capacity defaults to the single-chip heuristic
-    divided by the axis size. NOTE: the /D default assumes roughly uniform
-    band occupancy — a view whose splats concentrate in one horizontal band
-    can overflow it; monitor with return_overflow or raise ``capacity``.
+    Gaussian count must divide by the total axis size (pad if needed).
+    ``capacity`` is the per-device binning instance cap (default: the
+    single-chip heuristic on the per-device post-redistribution row count);
+    ``pair_capacity`` caps each (source, dest) transfer (default
+    3 * N / D^2). Both assume roughly uniform band occupancy — monitor
+    concentrated views with return_overflow.
     """
-    from splatjax.render import resolve_alpha_clip
-
     alpha_clip = resolve_alpha_clip(alpha_clip, False)
-    n_dev = mesh.shape[axis]
+    n_dev = _mesh_axis_size(mesh, axis)
     n = scene.num_gaussians
     if n % n_dev:
-        raise ValueError(f"gaussian count {n} not divisible by mesh axis {n_dev}")
+        raise ValueError(f"gaussian count {n} not divisible by mesh size {n_dev}")
+    n_loc = n // n_dev
+    if pair_capacity is None:
+        pair_capacity = max(-(-3 * n_loc // n_dev // 128) * 128, 128)
+    recv_rows = n_dev * pair_capacity if redistribute == "all_to_all" else n
     if capacity is None:
-        capacity = max(default_capacity(n) // n_dev, 1024)
+        capacity = max(default_capacity(recv_rows), 2048)
 
     band_h = padded_band_height(camera.height, n_dev, tile_size)
     cfg_band = TileConfig(camera.width, band_h, tile_size, tile_size)
@@ -119,12 +156,61 @@ def render_sharded(
             width=camera.width, height=camera.height,
             max_scales=jnp.max(scales, axis=-1),
         )
-        packed = _pack_projected(proj_local)              # (N/D, 13)
-        packed_all = jax.lax.all_gather(
-            packed, axis, axis=0, tiled=True
-        )                                                  # (N, 13)
+        packed = _pack_projected(proj_local)              # (n_loc, 13)
+        pair_drop = jnp.zeros((n_dev,), jnp.int32)
+
+        if redistribute == "all_gather":
+            packed_all = jax.lax.all_gather(
+                packed, axis, axis=0, tiled=True
+            )                                              # (N, 13)
+        else:
+            # bands intersected by each gaussian's rendered bbox
+            my = proj_local.mean2d[:, 1]
+            by = proj_local.bbox_half[:, 1]
+            fb0 = jnp.floor((my - by) / band_h).astype(jnp.int32)
+            fb1 = jnp.floor((my + by) / band_h).astype(jnp.int32)
+            on = proj_local.mask & (fb1 >= 0) & (fb0 <= n_dev - 1)
+            b0 = jnp.clip(fb0, 0, n_dev - 1)
+            b1 = jnp.clip(fb1, 0, n_dev - 1)
+            span = b1 - b0 + 1
+            # spans beyond MAX_BANDS: tail bands dropped (counted below)
+            dests = b0[None, :] + jnp.arange(
+                MAX_BANDS, dtype=jnp.int32
+            )[:, None]                                      # (MAXB, n_loc)
+            ok = on[None, :] & (dests <= b1[None, :])
+            dest = jnp.where(ok, dests, n_dev).reshape(-1)  # sentinel last
+            order_key, e_sorted = jax.lax.sort(
+                (dest, jnp.arange(dest.shape[0], dtype=jnp.int32)),
+                is_stable=True, num_keys=1,
+            )
+            bounds = jnp.searchsorted(
+                order_key, jnp.arange(n_dev + 1, dtype=jnp.int32),
+                side="left",
+            )
+            idx = bounds[:-1, None] + jnp.arange(
+                pair_capacity, dtype=jnp.int32
+            )[None, :]                                      # (D, cap_pair)
+            take = jnp.minimum(idx, dest.shape[0] - 1)
+            src_g = e_sorted[take] % n_loc
+            valid_row = idx < bounds[1:, None]
+            send = jnp.where(
+                valid_row[:, :, None], packed[src_g], 0.0
+            )                                               # (D, cap, 13)
+            pair_drop = jnp.maximum(
+                bounds[1:] - bounds[:-1] - pair_capacity, 0
+            ) + jnp.zeros((n_dev,), jnp.int32)
+            # rows lost to the MAX_BANDS span cap, attributed per gaussian
+            span_drop = jnp.sum(
+                jnp.where(on, jnp.maximum(span - MAX_BANDS, 0), 0)
+            )
+            pair_drop = pair_drop + span_drop // n_dev      # spread estimate
+            recv = jax.lax.all_to_all(
+                send, axis, split_axis=0, concat_axis=0, tiled=True
+            )                                               # (D*cap, 13)
+            packed_all = recv.reshape(n_dev * pair_capacity, 13)
+
         proj = _unpack_projected(packed_all)
-        d = jax.lax.axis_index(axis)
+        d = _axis_flat_index(axis)
         # shift into band-local pixel coordinates (y-up, bands bottom-up)
         shift = (d * band_h).astype(jnp.float32)
         proj = ProjectedGaussians(
@@ -138,18 +224,27 @@ def render_sharded(
             color=proj.color,
             opacity=proj.opacity,
         )
-        binned = bin_gaussians(proj, cfg_band, capacity)
-        out_tiles, _ = rasterize_tiles(
-            binned.feat, binned.starts, binned.ends, cfg_band,
-            alpha_clip, early_stop,
+        binned = bin_gaussians(proj, cfg_band, capacity, with_features=False)
+        out_tiles, _ = rasterize_gathered(
+            features_from_projection(proj),
+            binned.gauss_id, binned.starts, binned.ends,
+            binned.cum, binned.count, binned.perm,
+            binned.cum_d, binned.count_d, binned.overflow,
+            None, cfg_band, alpha_clip, early_stop,
         )
-        return out_tiles, binned.overflow[None]            # (T_band, P, 8), (1,)
+        # per-band total drop: local binning overflow + transfer drops
+        # destined here from every source (psum'd)
+        my_drop = binned.overflow + jax.lax.psum(
+            pair_drop, axis
+        )[d] if redistribute == "all_to_all" else binned.overflow
+        return out_tiles, my_drop[None]
 
+    spec = P(axis if isinstance(axis, str) else tuple(axis))
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(), P()),
-        out_specs=(P(axis), P(axis)),
+        in_specs=(spec, spec, spec, spec, spec, P(), P()),
+        out_specs=(spec, spec),
         check_vma=False,
     )
     out_tiles, overflow = fn(

@@ -78,6 +78,53 @@ def test_sharded_render_uneven_height():
     np.testing.assert_allclose(img_s, img_1, atol=1e-5)
 
 
+def test_sharded_render_2d_mesh():
+    """(host, chip) mesh: collectives ride the flattened axes; image parity
+    must hold with the band axis split across both mesh dimensions."""
+    from splatjax.parallel import make_mesh_2d
+
+    scene, cam = _setup(seed=64)
+    mesh = make_mesh_2d((2, 4))
+    img_s = np.asarray(
+        render_sharded(scene, cam, mesh, axis=("host", "chip"),
+                       early_stop=0.0)
+    )
+    img_1 = np.asarray(render(scene, cam, early_stop=0.0))
+    np.testing.assert_allclose(img_s, img_1, atol=1e-5)
+
+
+def test_all_to_all_matches_all_gather():
+    """The fixed-capacity all_to_all redistribution (ships only the
+    band-intersecting instances) must be pixel-identical to the O(N)
+    all_gather correctness path."""
+    scene, cam = _setup(seed=65)
+    mesh = make_mesh(8)
+    img_a2a = np.asarray(
+        render_sharded(scene, cam, mesh, early_stop=0.0,
+                       redistribute="all_to_all")
+    )
+    img_ag = np.asarray(
+        render_sharded(scene, cam, mesh, early_stop=0.0,
+                       redistribute="all_gather")
+    )
+    np.testing.assert_allclose(img_a2a, img_ag, atol=1e-6)
+
+
+def test_all_to_all_pair_capacity_drop_counted():
+    """Transfers over the per-(source, dest) cap must be surfaced in the
+    overflow counters, never silently dropped."""
+    scene, cam = _setup(n=256, seed=66)
+    mesh = make_mesh(4)
+    _, overflow = render_sharded(
+        scene, cam, mesh, pair_capacity=128, return_overflow=True
+    )
+    assert int(np.sum(np.asarray(overflow))) == 0
+    _, overflow2 = render_sharded(
+        scene, cam, mesh, pair_capacity=4, return_overflow=True
+    )
+    assert int(np.sum(np.asarray(overflow2))) > 0
+
+
 def test_sharded_overflow_surfaced():
     # A view concentrating all splats in one band must report overflow
     # rather than silently dropping instances (ADVICE r1).
