@@ -57,6 +57,18 @@ def main():
     grad_fn = jax.jit(jax.grad(lambda p: jnp.sum(fwd(p) ** 2)))
     fwd_fn = jax.jit(lambda p: fwd(p))
 
+    # correctness gate before timing anything: a small scene must match the
+    # differentiable ground-truth rasterizer ON THIS BACKEND. Guards against
+    # hardware-only kernel bugs that CPU interpret-mode tests cannot see
+    # (e.g. the MXU's default-precision bf16 rounding of one-hot matmuls,
+    # which silently corrupted binning on v5e until round 2).
+    from splatjax.reference import render_reference  # noqa: E402
+    _s = synthetic_scene(2000, seed=5, extent=0.7, scale_range=(0.01, 0.05))
+    _c = make_camera((0.1, -0.2, 2.4), (0, 0, 0), width=192, height=128)
+    _img = np.asarray(render(_s, _c, early_stop=0.0, alpha_clip=None))
+    _err = float(np.abs(_img - np.asarray(render_reference(_s, _c))).max())
+    assert _err < 1e-3, f"device parity check failed: max err {_err}"
+
     img, ov = render(scene, cam, return_overflow=True, **kwargs)
     jax.block_until_ready(img)
     overflow = int(ov)

@@ -153,35 +153,20 @@ def _gather_features_fwd(feat_n, gid, cum, count, perm, cum_d, count_d,
     return out, (gid, cum, count, perm, cum_d, count_d, overflow)
 
 
-def _blocked_cumsum(x: Array, block: int = 128) -> Array:
-    """Inclusive cumsum along axis 0 of (K, C), K % block == 0.
-
-    One batched triangular matmul on the MXU per block + a tiny cross-block
-    prefix — instead of XLA's log2(K)-pass scan, whose 8x lane padding at
-    C=16 makes it the dominant cost of the gradient scatter path.
-    """
-    k, c = x.shape
-    xb = x.reshape(k // block, block, c)
-    tri = jnp.tril(jnp.ones((block, block), x.dtype))
-    inner = jax.lax.dot_general(
-        tri, xb, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    ).transpose(1, 0, 2)                                 # (B, block, C)
-    block_tot = inner[:, -1, :]
-    prefix = jnp.cumsum(block_tot, axis=0) - block_tot   # exclusive (B, C)
-    return (inner + prefix[:, None, :]).reshape(k, c)
-
-
 def segment_sum_by_gid(
     g: Array, gid: Array, cum: Array, count: Array,
     perm: Array, cum_d: Array, count_d: Array, overflow: Array,
 ) -> Array:
     """Transpose of the per-instance row gather: (C, K) cotangent rows ->
-    (N, C) per-gaussian sums. Sort by gid + mean-shifted blocked cumsum +
-    run-boundary differences (see gather_features docstring); run lengths
-    correct for depth-major capacity truncation under a lax.cond.
+    (N, C) per-gaussian sums. Sort by gid, gather rows into per-gaussian
+    contiguous runs, then sum each run exactly with the windowed one-hot
+    MXU kernel (ops/segreduce.py) — replacing the earlier mean-shifted
+    blocked-cumsum + boundary-gather pipeline (~24 ms at 3M rows on v5e,
+    and prefix-difference cancellation error with it). Run lengths correct
+    for depth-major capacity truncation under a lax.cond.
     """
+    from splatjax.ops.segreduce import segment_reduce_rows
+
     k = gid.shape[0]
     n = cum.shape[0]
 
@@ -191,31 +176,27 @@ def segment_sum_by_gid(
             k - (cum_d - count_d), 0, count_d
         )
         eff_count = jnp.zeros((n,), cum_d.dtype).at[perm].set(inc_d)
-        return jnp.cumsum(eff_count), eff_count
+        return jnp.cumsum(eff_count)
 
     def _full(_):
-        return cum.astype(cum_d.dtype), count.astype(count_d.dtype)
+        return cum.astype(cum_d.dtype)
 
-    eff_cum, eff_count = jax.lax.cond(overflow > 0, _truncated, _full, None)
+    eff_cum = jax.lax.cond(overflow > 0, _truncated, _full, None)
 
     gt = g.T                                             # (K, C)
     _, order = jax.lax.sort(
         (gid, jnp.arange(k, dtype=jnp.int32)), is_stable=True, num_keys=1
     )
     gs = gt[order]                                       # (K, C) by gaussian
-    mu = jnp.mean(gs, axis=0, keepdims=True)
-    pad = (-k) % 128
-    xs = jnp.pad(gs - mu, ((0, pad), (0, 0)))
-    cs = _blocked_cumsum(xs)[:k]
-    ce = jnp.concatenate([jnp.zeros((1, gs.shape[1]), gs.dtype), cs], axis=0)
-    # per-gaussian runs: [eff_cum[g-1], eff_cum[g]) in sorted-by-gid order
-    # (contiguous, so start[g] = shifted end — ONE boundary gather). The
-    # sentinel tail (gid n-1, zero rows) sorts after gaussian n-1's real run
-    # and therefore never leaks into it.
-    ends = eff_cum.astype(jnp.int32)
-    z = ce[ends]                                         # (N, C)
-    z_prev = jnp.concatenate([jnp.zeros_like(z[:1]), z[:-1]], axis=0)
-    return (z - z_prev) + eff_count.astype(gs.dtype)[:, None] * mu
+    # per-gaussian runs are [eff_cum[g-1], eff_cum[g]) in this order; the
+    # sentinel tail (gid n-1, zero rows) sorts after gaussian n-1's real
+    # run and matches no lane in the kernel. Pad rows/runs to the kernel's
+    # 128 alignment (empty pad runs repeat the final cum).
+    k_pad = (-k) % 128
+    n_pad = (-n) % 128
+    gs_fm = jnp.pad(gs, ((0, k_pad), (0, 0))).T          # (C, K_pad)
+    cum_p = jnp.pad(eff_cum.astype(jnp.int32), (0, n_pad), mode="edge")
+    return segment_reduce_rows(gs_fm, cum_p).T[:n]
 
 
 def _gather_features_bwd(res, g):
@@ -298,8 +279,13 @@ def bin_gaussians(
             overflow=zero,
         )
     assert capacity < (1 << 24) and n < (1 << 24), (
-        "indices must stay exact in f32 (the expansion kernel's MXU "
-        "one-hot contraction runs in f32)"
+        "indices must stay exact in f32 (the expansion kernel reassembles "
+        "them from 8-bit limbs into f32 arithmetic)"
+    )
+    assert cfg.tiles_x <= 255 and cfg.tiles_y <= 255, (
+        "tile coordinates must fit the expansion kernel's bf16-exact "
+        "<=255 bound (16 px tiles cover images up to 4080 px per side); "
+        "use a larger tile_size for wider images"
     )
     cap_pad = -(-capacity // expand_mod.CHUNK) * expand_mod.CHUNK
 
@@ -321,38 +307,62 @@ def bin_gaussians(
     )
     n_vis = jnp.sum(has_inst.astype(jnp.int32))
 
-    # ONE n-row gather builds the depth-ordered expansion table (f32; all
-    # values integral and < 2^24, exact through the kernel's MXU matmul).
+    # ONE n-row gather (32 B rows, the fast path) pulls the per-gaussian
+    # attrs into depth order; all derived columns — cumsums and the 8-bit
+    # limb decompositions the kernel's fast-mode MXU contraction needs
+    # (ops/expand.py COL_* docs) — are computed post-gather.
     tbl = jnp.stack(
         [
             x0.astype(jnp.float32),
             y0.astype(jnp.float32),
             span_w.astype(jnp.float32),
-            count.astype(jnp.float32),          # replaced by cum_d below
+            count.astype(jnp.float32),
             jnp.arange(n, dtype=jnp.float32),   # original gaussian id
-            jnp.zeros((n,), jnp.float32),       # replaced by cum_excl below
+            jnp.zeros((n,), jnp.float32),
             jnp.zeros((n,), jnp.float32),
             jnp.zeros((n,), jnp.float32),
         ],
         axis=-1,
     )
-    tbl_d = tbl[perm]                             # (n, 8)
+    tbl_d = tbl[perm]                             # (n, 8) depth-ordered
     count_d = tbl_d[:, 3]
     cum_d = jnp.cumsum(count_d)                   # exact: total < 2^24
-    tbl_d = tbl_d.at[:, expand_mod.COL_CUM_INCL].set(cum_d)
-    tbl_d = tbl_d.at[:, expand_mod.COL_CUM_EXCL].set(cum_d - count_d)
-    # pad lanes: sit after every real lane, so valid instances never select
-    # them (their first match is always a real gaussian); CUM_INCL above any
-    # j and SPANW >= 1 keep the masked-garbage path finite. Vpad is a
-    # 128-multiple for Mosaic's lane-aligned window DMAs.
+    cum_ex = cum_d - count_d
+    ogid_d = tbl_d[:, 4].astype(jnp.int32)
+    cum_ex_i = cum_ex.astype(jnp.int32)
+
+    def limbs(v):
+        return (
+            (v & 255).astype(jnp.float32),
+            ((v >> 8) & 255).astype(jnp.float32),
+            (v >> 16).astype(jnp.float32),
+        )
+
+    og0, og1, og2 = limbs(ogid_d)
+    ce0, ce1, ce2 = limbs(cum_ex_i)
+    zero = jnp.zeros((n,), jnp.float32)
+    tbl16 = jnp.stack(
+        [
+            tbl_d[:, 0], tbl_d[:, 1], tbl_d[:, 2],   # x0, y0, spanw
+            cum_d, cum_ex,                            # full f32 (compares)
+            og0, og1, og2, ce0, ce1, ce2,
+            zero, zero, zero, zero, zero,
+        ],
+        axis=-1,
+    )
+    # pad lanes: CUM_EXCL = 2^24 > any instance id, so no instance can ever
+    # select them; SPANW >= 1 keeps the masked-garbage path finite. Vpad is
+    # a 128-multiple for Mosaic's lane-aligned window DMAs.
     vpad = -(-(n + expand_mod.PAD_G) // 128) * 128
-    pad_row = jnp.array(
-        [0.0, 0.0, 1.0, float(1 << 24), 0.0, 0.0, 0.0, 0.0], jnp.float32
-    )
+    pad_row = jnp.zeros((expand_mod.TBL_ROWS,), jnp.float32)
+    pad_row = pad_row.at[expand_mod.COL_SPANW].set(1.0)
+    pad_row = pad_row.at[expand_mod.COL_CUM_INCL].set(float(1 << 24))
+    pad_row = pad_row.at[expand_mod.COL_CUM_EXCL].set(float(1 << 24))
     tbl_pad = jnp.concatenate(
-        [tbl_d, jnp.broadcast_to(pad_row, (vpad - n, 8))], axis=0
+        [tbl16, jnp.broadcast_to(pad_row, (vpad - n, expand_mod.TBL_ROWS))],
+        axis=0,
     )
-    tbl_t = tbl_pad.T                             # (8, Vpad): gaussians on lanes
+    tbl_t = tbl_pad.T                      # (TBL_ROWS, Vpad): lanes = gaussians
 
     # g at every 128-instance boundary (g(j) = #{r : cum_d[r] <= j}),
     # clamped into the gap-free visible prefix

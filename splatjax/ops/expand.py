@@ -15,12 +15,12 @@ contraction is the idiomatic substitute).
 
 Layout (dictated by Mosaic DMA tiling: HBM slice offsets/sizes on the minor
 dimension must be 128-aligned):
-  * table is (8, Vpad) — columns on sublanes, gaussians on LANES;
-  * each window DMA grabs (8, WINDOW) at a 128-aligned lane offset;
+  * table is (TBL_ROWS, Vpad) — columns on sublanes, gaussians on LANES;
+  * each window DMA grabs (TBL_ROWS, WINDOW) at a 128-aligned lane offset;
   * per 128-instance subchunk (instances on SUBLANES):
         match[u, w] = (j_u < cum_incl[w])      # (128, WINDOW), monotone in w
         sel         = match * (1 - shift(match))   # one-hot first-match
-        attrs       = sel @ window^T               # (128, 8) via MXU
+        attrs       = sel @ window^T               # (128, 16) via MXU
     lanes w before g(j0) have cum_incl <= j0, so they never match — the
     window may start anywhere at or before g(j0);
   * per-chunk outputs accumulate as (128, 16) columns and are transposed to
@@ -42,21 +42,41 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 SUB = 128                      # instances per subchunk (sublane axis)
-GROUP = 2                      # subchunks sharing one window DMA
+GROUP = 1                      # subchunks sharing one window DMA
 SUBS_PER_CHUNK = 16
 CHUNK = SUB * SUBS_PER_CHUNK   # instances per grid step
-WINDOW = 512                   # lanes per window: covers <= 127 + GROUP*128
-                               # + 129 gaussians, 128-aligned
+WINDOW = 256                   # lanes per window: a 128-instance subchunk
+                               # touches <= 128 consecutive rows; alignment
+                               # slack (g0 - 128-aligned offset <= 127)
+                               # makes the max lane 254 — one-subchunk
+                               # windows halve the one-hot compare +
+                               # contraction width vs a shared 512 window.
+                               # (A dynamic roll to lanes [0,128) would
+                               # halve it again, but Mosaic's rotated
+                               # layout is consumed wrongly by the MXU on
+                               # v5e — see scratch/check_droll4_tpu.py.)
 PAD_G = WINDOW + SUB           # table pad so any window stays in bounds
 
-# table row layout (all values exact in f32; indices < 2^24)
-COL_X0 = 0
-COL_Y0 = 1
-COL_SPANW = 2
-COL_CUM_INCL = 3
-COL_OGID = 4
-COL_CUM_EXCL = 5
-TBL_ROWS = 8
+# Table row layout. Values that pass through the one-hot MXU contraction
+# must survive a bf16 input rounding (the fast single-pass MXU mode):
+# integers <= 255 are bf16-exact, so wide integers (gaussian id, instance
+# cumsum, both < 2^24) ride as THREE 8-bit limbs. Full-range f32 copies of
+# the cumsums are kept in separate rows for the VPU interval compares,
+# which never touch the MXU. This keeps the contraction in the fast MXU
+# mode — Precision.HIGHEST on the same matmul costs ~3x (measured 21.8 ms
+# vs ~10 ms for the whole kernel at 3M instances on v5e).
+COL_X0 = 0         # <= 255 (tiles_x bounded — see expand_instances)
+COL_Y0 = 1         # <= 255
+COL_SPANW = 2      # <= 255
+COL_CUM_INCL = 3   # full f32, compare-only
+COL_CUM_EXCL = 4   # full f32, compare-only
+COL_OGID_L0 = 5    # ogid & 255
+COL_OGID_L1 = 6    # (ogid >> 8) & 255
+COL_OGID_L2 = 7    # ogid >> 16
+COL_CUMEX_L0 = 8   # cum_excl limbs
+COL_CUMEX_L1 = 9
+COL_CUMEX_L2 = 10
+TBL_ROWS = 16      # padded to a sublane multiple
 
 
 def _use_interpret() -> bool:
@@ -92,37 +112,45 @@ def _expand_kernel(
 
     base = i * CHUNK
     subl = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
-    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
 
     for grp in range(n_groups):
         pltpu.make_async_copy(
             tbl_hbm.at[:, pl.ds(win_off(grp), WINDOW)],
             win_vmem.at[grp], sems.at[grp],
         ).wait()
-        win = win_vmem[grp]                         # (8, WINDOW)
+        win = win_vmem[grp]                         # (TBL_ROWS, WINDOW)
         lim = win[COL_CUM_INCL:COL_CUM_INCL + 1, :]  # (1, WINDOW)
-        # selection interval per lane: [lim_prev, lim) = that gaussian's
-        # instance id range. Rolling the (1, W) limit vector once per group
-        # is ~2x cheaper on the VPU than flip-detecting on the full
-        # (SUB, W) match matrix per subchunk. Lane 0's wrapped value is
-        # replaced by -1: if the window starts before g(j0), those lanes
-        # have lim <= j anyway; if it starts AT g(j0), instance j0 must
-        # select lane 0.
-        lim_prev = pltpu.roll(lim, 1, axis=1)
-        lim_prev = jnp.where(lane1 == 0, -1.0, lim_prev)
+        # selection interval per lane: [cum_excl, cum_incl) = that
+        # gaussian's instance id range, both carried in the table — no
+        # shuffle needed (pad lanes carry cum_excl = 2^24 so they can
+        # never match).
+        lim_prev = win[COL_CUM_EXCL:COL_CUM_EXCL + 1, :]
         for u in range(GROUP):
             s = grp * GROUP + u
             j = (base + s * SUB + subl).astype(jnp.float32)   # (SUB, 1)
             sel = ((j >= lim_prev) & (j < lim)).astype(jnp.float32)
+            # fast (single-pass bf16) MXU mode: exact for the <=255-valued
+            # rows; wide integers are reassembled from 8-bit limbs below.
+            # (The full-range rows 3-4 also pass through and come out
+            # rounded — they are only ever used in the compares above.)
             attrs = jax.lax.dot_general(
                 sel, win, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
                 preferred_element_type=jnp.float32,
-            )                                                  # (SUB, 8)
+            )                                                  # (SUB, 16)
             x0 = attrs[:, COL_X0:COL_X0 + 1]
             y0 = attrs[:, COL_Y0:COL_Y0 + 1]
             spanw = jnp.maximum(attrs[:, COL_SPANW:COL_SPANW + 1], 1.0)
-            ogid = attrs[:, COL_OGID:COL_OGID + 1]
-            cum_ex = attrs[:, COL_CUM_EXCL:COL_CUM_EXCL + 1]
+            ogid = (
+                attrs[:, COL_OGID_L0:COL_OGID_L0 + 1]
+                + 256.0 * attrs[:, COL_OGID_L1:COL_OGID_L1 + 1]
+                + 65536.0 * attrs[:, COL_OGID_L2:COL_OGID_L2 + 1]
+            )
+            cum_ex = (
+                attrs[:, COL_CUMEX_L0:COL_CUMEX_L0 + 1]
+                + 256.0 * attrs[:, COL_CUMEX_L1:COL_CUMEX_L1 + 1]
+                + 65536.0 * attrs[:, COL_CUMEX_L2:COL_CUMEX_L2 + 1]
+            )
 
             local = j - cum_ex
             # integer div via f32: (local+0.5)/spanw lies strictly inside
@@ -142,10 +170,12 @@ def _expand_kernel(
     ).astype(jnp.float32)
     tile_t = jax.lax.dot_general(
         acc_tile[:, :], eye, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )                                               # (16, 128)
     gid_t = jax.lax.dot_general(
         acc_gid[:, :], eye, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
     tile_ref[:, :] = tile_t.astype(jnp.int32)
@@ -166,9 +196,11 @@ def expand_instances(
 ) -> tuple[Array, Array]:
     """Expand depth-compacted gaussians into (tile, gid) per instance.
 
-    tbl_t: (8, Vpad) f32 depth-ordered table, columns on sublanes (see
-      COL_* layout); Vpad a 128-multiple >= n + PAD_G, pad lanes carrying
-      CUM_INCL > capacity and SPANW >= 1.
+    tbl_t: (TBL_ROWS, Vpad) f32 depth-ordered table, columns on sublanes
+      (see COL_* layout: wide integers as 8-bit limbs); Vpad a 128-multiple
+      >= n + PAD_G, pad lanes carrying CUM_INCL/CUM_EXCL > capacity and
+      SPANW >= 1. Requires tiles_x <= 255 and tiles_y <= 255 (limb-exact
+      bf16 bound; 16 px tiles cover images up to 4080 px per side).
     sub_g0: (capacity/SUB,) int32 — g(j) at each 128-instance boundary,
       clamped into the gap-free visible prefix.
     total_clamped: () int32 — min(total instances, capacity).

@@ -89,6 +89,23 @@ def _bwd_kernel(
     g_d = g_out_ref[0, :, 5:6]          # expected-depth cotangent
     t_final = out_saved_ref[0, :, 3:4]
 
+    # Per-tile constant bases for the MXU gradient reductions (see body):
+    # all ten per-instance sums are contractions over the tile's pixels of
+    # g_power or w against per-pixel-only factors, so two small matmuls
+    # replace ten VPU sublane reduction trees per chunk. Moments use
+    # TILE-LOCAL pixel coordinates: any pixel this tile contributes has
+    # |dx| >= dist(mean, tile) - tile_w, so the raw-moment recombination
+    # below never cancels catastrophically.
+    ox = (t % cfg.tiles_x).astype(jnp.float32) * cfg.tile_w
+    oy = (t // cfg.tiles_x).astype(jnp.float32) * cfg.tile_h
+    pxl = px - ox                        # (P, 1) in [0.5, tile_w)
+    pyl = py - oy
+    ones_p = jnp.ones_like(pxl)
+    basis6 = jnp.concatenate(
+        [ones_p, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl], axis=1
+    )                                    # (P, 6)
+    cot4 = jnp.concatenate([g_r, g_g, g_b, g_d], axis=1)   # (P, 4)
+
     # Walk chunks in reverse: iteration i handles chunk c = c_done-1-i.
     # Everything is double-buffered on slot = i % 2: feature reads, the
     # read-modify-write old-grad reads, and the grad writes (whose windows
@@ -153,7 +170,16 @@ def _bwd_kernel(
         # are lane-independent — so ONE scan of the pre-weighted combination
         # u = a T (g_r c_r + g_g c_g + g_b c_b + g_d d) replaces four
         # channel scans (depth is blended exactly like a color channel).
-        gdotc = g_r * col_r + g_g * col_g + g_b * col_b + g_d * depth_row
+        # gdotc[p, k] = cot4[p, :] . (c_r, c_g, c_b, d)[:, k] — one small
+        # MXU matmul instead of four VPU multiply-adds on (P, CHUNK).
+        colmat4 = jnp.concatenate(
+            [col_r, col_g, col_b, depth_row], axis=0
+        )                                        # (4, CHUNK)
+        gdotc = jax.lax.dot_general(
+            cot4, colmat4, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                        # (P, CHUNK)
         u = alpha * t_k * gdotc                  # (P, CHUNK)
         inc_u = _suffix_cumsum_lanes(u)
         sx_u = inc_u - u + s_u                   # exclusive suffix + carry
@@ -163,31 +189,50 @@ def _bwd_kernel(
         # one division: (S_i + g_T T_final) / (1 - a_i); g_tf*t_final is
         # per-pixel, hoisted out of the lane dim by broadcasting
         g_alpha = t_k * gdotc - (sx_u + g_tf * t_final) / om_safe
-        # d alpha / d opacity = masked exp(power), recovered as alpha/opa
-        # instead of a second transcendental (alpha = masked_exp * opa when
-        # unclipped; when clipped, g_alpha is zeroed so dexp is irrelevant).
-        # Caveat: at opa <= 1e-12 this underestimates the opacity gradient
-        # (true d(alpha)/d(opa) = exp(power)); such splats are invisible and
-        # post-sigmoid opacities never reach exact 0.
-        opa = rows[8]
-        dexp = alpha / jnp.where(jnp.abs(opa) > 1e-12, opa, 1e-12)
         if alpha_clip is not None:
             # min(raw*opa, clip) clipped  <=>  alpha >= clip
             g_alpha = jnp.where(alpha < alpha_clip, g_alpha, 0.0)
         g_alpha = jnp.where(in_range, g_alpha, 0.0)
         g_power = g_alpha * alpha                 # d(exp(p)*o)/dp = alpha
-        ca, cb, cc = rows[2], rows[3], rows[4]
-        g_a = jnp.sum(g_power * (-0.5 * dx * dx), axis=0, keepdims=True)
-        g_bq = jnp.sum(g_power * (-dx * dy), axis=0, keepdims=True)
-        g_c = jnp.sum(g_power * (-0.5 * dy * dy), axis=0, keepdims=True)
-        g_mx = jnp.sum(g_power * (ca * dx + cb * dy), axis=0, keepdims=True)
-        g_my = jnp.sum(g_power * (cb * dx + cc * dy), axis=0, keepdims=True)
-        g_opa = jnp.sum(g_alpha * dexp, axis=0, keepdims=True)
         w = alpha * t_k
-        g_cr = jnp.sum(g_r * w, axis=0, keepdims=True)
-        g_cg = jnp.sum(g_g * w, axis=0, keepdims=True)
-        g_cb = jnp.sum(g_b * w, axis=0, keepdims=True)
-        g_dep = jnp.sum(g_d * w, axis=0, keepdims=True)
+
+        # All ten per-instance gradient sums are pixel contractions of
+        # g_power or w against per-pixel factors: two MXU matmuls replace
+        # ten sublane reduction trees. Raw pixel moments (tile-local) are
+        # recombined into the centered moments sum(g_power * dx^a dy^b)
+        # per instance afterwards — O(CHUNK) work instead of O(P*CHUNK).
+        mom = jax.lax.dot_general(
+            basis6, g_power, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                         # (6, CHUNK)
+        cw = jax.lax.dot_general(
+            cot4, w, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                         # (4, CHUNK)
+        s1 = mom[0:1]
+        mxl = rows[0] - ox                        # tile-local mean (1, CHUNK)
+        myl = rows[1] - oy
+        sdx = mom[1:2] - mxl * s1                 # sum g_power * dx
+        sdy = mom[2:3] - myl * s1
+        sdxx = mom[3:4] - 2.0 * mxl * mom[1:2] + mxl * mxl * s1
+        sdxy = mom[4:5] - mxl * mom[2:3] - myl * mom[1:2] + mxl * myl * s1
+        sdyy = mom[5:6] - 2.0 * myl * mom[2:3] + myl * myl * s1
+        ca, cb, cc = rows[2], rows[3], rows[4]
+        g_mx = ca * sdx + cb * sdy
+        g_my = cb * sdx + cc * sdy
+        g_a = -0.5 * sdxx
+        g_bq = -sdxy
+        g_c = -0.5 * sdyy
+        # d alpha / d opacity = masked exp(power) = alpha / opa, so the
+        # opacity gradient is sum(g_alpha * alpha) / opa = S1 / opa (exact
+        # when unclipped; where clipped, g_alpha was zeroed above). At
+        # opa <= 1e-12 this underestimates (true grad = exp(power)); such
+        # splats are invisible and post-sigmoid opacities never reach 0.
+        opa = rows[8]
+        g_opa = s1 / jnp.where(jnp.abs(opa) > 1e-12, opa, 1e-12)
+        g_cr, g_cg, g_cb, g_dep = cw[0:1], cw[1:2], cw[2:3], cw[3:4]
 
         grow = jnp.concatenate(
             [g_mx, g_my, g_a, g_bq, g_c, g_cr, g_cg, g_cb, g_opa, g_dep,
