@@ -80,18 +80,29 @@ class SplatRenderer:
     exact_depth_sort: bool = False
     tile_size: int = 16
     background: Optional[Array] = None
+    progress: Optional[object] = None  # callback(StreamProgress)
 
     def __post_init__(self):
         self._pending = b""
         self._parts: list[GaussianScene] = []
         self._fed = 0  # splats parsed from feed() so far (capped)
         if self.src is not None:
-            with open(self.src, "rb") as f:
-                data = f.read()
-            if self.src.endswith(".ply"):
+            # streamed load with progress reporting, exactly like the
+            # reference's fetch loop (index.js:238-303): .splat rows are
+            # ingested progressively as chunks arrive; .ply is buffered
+            # whole then converted (index.js:305-317). src may be a local
+            # path or a file:// / http(s):// URL.
+            from splatjax.io.stream import stream_chunks
+
+            if str(self.src).split("?")[0].endswith(".ply"):
+                data = b"".join(
+                    stream_chunks(self.src, progress=self.progress)
+                )
                 self.scene = parse_ply_bytes(data)
             else:
-                self.scene = parse_splat_bytes(data)
+                for chunk in stream_chunks(self.src, progress=self.progress):
+                    self.feed(chunk)
+                self._materialize()
         if self.scene is not None and self.scene.num_gaussians > self.max_splats:
             self.scene = jax.tree_util.tree_map(
                 lambda x: x[: self.max_splats], self.scene
