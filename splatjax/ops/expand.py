@@ -42,19 +42,20 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 SUB = 128                      # instances per subchunk (sublane axis)
-GROUP = 1                      # subchunks sharing one window DMA
+GROUP = 2                      # subchunks sharing one window DMA
 SUBS_PER_CHUNK = 16
 CHUNK = SUB * SUBS_PER_CHUNK   # instances per grid step
-WINDOW = 256                   # lanes per window: a 128-instance subchunk
-                               # touches <= 128 consecutive rows; alignment
-                               # slack (g0 - 128-aligned offset <= 127)
-                               # makes the max lane 254 — one-subchunk
-                               # windows halve the one-hot compare +
-                               # contraction width vs a shared 512 window.
+WINDOW = 384                   # lanes per window: GROUP consecutive
+                               # subchunks touch <= 127 (alignment slack)
+                               # + GROUP*128 consecutive rows = 383.
+                               # GROUP=2/384 measured best on v5e (8.9 ms
+                               # at 3M instances): halving DMA count beat
+                               # narrower windows (GROUP=1/256 -> 12.6 ms);
+                               # GROUP=4/640 plateaus at the same 8.9.
                                # (A dynamic roll to lanes [0,128) would
-                               # halve it again, but Mosaic's rotated
-                               # layout is consumed wrongly by the MXU on
-                               # v5e — see scratch/check_droll4_tpu.py.)
+                               # shrink compares 3x more, but Mosaic's
+                               # rotated layout is consumed wrongly by the
+                               # MXU on v5e — scratch/check_droll4_tpu.py.)
 PAD_G = WINDOW + SUB           # table pad so any window stays in bounds
 
 # Table row layout. Values that pass through the one-hot MXU contraction

@@ -142,6 +142,48 @@ def pad_packed(feat_pk: Array) -> Array:
     return jnp.pad(feat_pk, ((0, 0), (0, k_pad - k)))
 
 
+# Streaming-ring DMA geometry (forward kernel). The instance list is
+# consumed in strictly increasing positions across the whole tile grid
+# (tile ranges are sorted and contiguous; a tile's 128-aligned window can
+# only reach < CHUNK lanes behind the previous tile's end, which never
+# crosses back over a block boundary) — so feature blocks can stream
+# through a revolving VMEM ring with ONE DMA + ONE semaphore wait per
+# BLK-instance block instead of one per 128-instance chunk. At ~1 us DMA
+# issue/wait overhead on v5e this is the difference between ~22k and ~6k
+# sequenced DMAs per 1M-splat frame (measured: the per-chunk
+# double-buffered variant spent ~40% of the forward kernel stalled).
+BLK_CHUNKS = 4                 # chunks per streamed block
+BLK = CHUNK * BLK_CHUNKS       # instances per block DMA (16 KB packed)
+NRING = 8                      # ring slots (VMEM: NRING * 16 KB = 128 KB)
+LOOKAHEAD = NRING - 2          # blocks kept in flight ahead of the reader
+
+
+def chunk_major(feat_pk_pad: Array) -> Array:
+    """Packed (8, K_pad) -> chunk-major (K_pad/CHUNK, 8, CHUNK) HBM layout.
+
+    Each (8, CHUNK) chunk is a contiguous leading-dim row, so a block DMA
+    is a plain leading-dim slice with no lane-alignment constraints. Cost
+    on device equals the (K, 8) -> (8, K) transpose it replaces in the
+    gather epilogue (one shuffle of the same bytes).
+    """
+    k_pad = feat_pk_pad.shape[1]
+    return feat_pk_pad.reshape(PACKED_ROWS, k_pad // CHUNK, CHUNK).transpose(
+        1, 0, 2
+    )
+
+
+def chunk_major_rows(feat_km: Array) -> Array:
+    """Row-major gathered (K, 8) int32 rows -> streaming-ready chunk-major
+    (n_chunks, 8, CHUNK) with block padding. This replaces the (K, 8) ->
+    (8, K) transpose the gather epilogue used to pay — same bytes, one
+    shuffle."""
+    k = feat_km.shape[0]
+    k_pad = -(-k // CHUNK) * CHUNK + CHUNK
+    padded = jnp.pad(feat_km, ((0, k_pad - k), (0, 0)))
+    cm = padded.reshape(k_pad // CHUNK, CHUNK, PACKED_ROWS).transpose(0, 2, 1)
+    return pad_chunk_major(cm)
+
+
 def _pixel_grids(cfg: TileConfig, tile_idx):
     """(P, 1) x/y pixel-center coordinates for one tile (y-up frame)."""
     p = cfg.pixels_per_tile
@@ -241,48 +283,84 @@ def _fwd_kernel(
     starts_ref, ends_ref,
     # inputs
     feat_hbm, *maybe_zbuf_and_outs,
-    # then: out_ref, scratch (feat_vmem, sem)
-    cfg: TileConfig, alpha_clip, early_stop, has_zbuf: bool,
+    # then: out_ref, scratch (ring, cur, sems)
+    cfg: TileConfig, alpha_clip, early_stop, has_zbuf: bool, n_blocks: int,
 ):
     if has_zbuf:
-        zbuf_ref, out_ref, feat_vmem, sem = maybe_zbuf_and_outs
+        zbuf_ref, out_ref, ring, cur, sems = maybe_zbuf_and_outs
         zb = zbuf_ref[0, :, 0:1]           # (P, 1) camera-z buffer
     else:
-        out_ref, feat_vmem, sem = maybe_zbuf_and_outs
+        out_ref, ring, cur, sems = maybe_zbuf_and_outs
         zb = None
     t = pl.program_id(0)
     p = cfg.pixels_per_tile
     start = starts_ref[t]
     end = ends_ref[t]
-    astart = (start // CHUNK) * CHUNK      # aligned DMA window
+    astart = (start // CHUNK) * CHUNK      # aligned first chunk
     n_chunks = pl.cdiv(end - astart, CHUNK)
     px, py = _pixel_grids(cfg, t)
 
-    def dma(slot, c):
+    def block_copy(bi):
+        # clamped source keeps lookahead DMAs past the table in bounds
+        # (their data is never read; they are drained at grid end)
+        src = jnp.minimum(bi, n_blocks - 1) * BLK_CHUNKS
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(astart + c * CHUNK, CHUNK)],
-            feat_vmem.at[slot],
-            sem.at[slot],
+            feat_hbm.at[pl.ds(src, BLK_CHUNKS)],
+            ring.at[pl.ds((bi % NRING) * BLK_CHUNKS, BLK_CHUNKS)],
+            sems.at[bi % NRING],
         )
 
-    # Tile t's chunk-0 DMA was issued by the previous grid program (slot 0,
-    # see the epilogue below) — only the very first program self-issues.
-    # This hides the per-tile first-chunk DMA latency, which is otherwise
-    # serialized across all ~8k sequential grid steps.
-    @pl.when((t == 0) & (n_chunks > 0))
+    # ring cursors live in SMEM across the whole sequential grid:
+    # cur[0] = first block not yet waited, cur[1] = first not yet issued
+    @pl.when(t == 0)
     def _():
-        dma(0, 0).start()
+        cur[0] = 0
+        cur[1] = 0
+
+    def enter_block(b):
+        """Advance the ring to block b: retire skipped in-flight blocks,
+        top the lookahead back up, ensure b's data has landed. Consumption
+        is monotone at block granularity, so every slot reuse is safe: all
+        outstanding blocks live within LOOKAHEAD < NRING of the reader."""
+        waited = cur[0]
+        fetched = cur[1]
+        retire_to = jnp.minimum(b + 1, fetched)
+
+        def w(bi, _):
+            block_copy(bi).wait()
+            return 0
+
+        jax.lax.fori_loop(waited, retire_to, w, 0)
+        waited = jnp.maximum(waited, retire_to)
+        # a jump past the lookahead window skips never-issued blocks
+        fetched = jnp.maximum(fetched, b)
+        waited = jnp.maximum(waited, b)
+
+        def s(bi, _):
+            block_copy(bi).start()
+            return 0
+
+        jax.lax.fori_loop(fetched, b + LOOKAHEAD, s, 0)
+        fetched = jnp.maximum(fetched, b + LOOKAHEAD)
+
+        @pl.when(waited == b)  # jump case: b was only just issued
+        def _():
+            block_copy(b).wait()
+
+        cur[0] = jnp.maximum(waited, b + 1)
+        cur[1] = fetched
 
     def body(state):
         c, t_vec, acc = state
+        ci = astart // CHUNK + c           # global chunk index
+        b = ci // BLK_CHUNKS               # global block index
 
-        @pl.when(c + 1 < n_chunks)  # double buffering: prefetch next chunk
+        @pl.when(b >= cur[0])
         def _():
-            dma((c + 1) % 2, c + 1).start()
+            enter_block(b)
 
-        dma(c % 2, c).wait()
-        chunk = feat_vmem[c % 2]
-        kidx = _lane_iota(CHUNK) + (astart + c * CHUNK)
+        chunk = ring[(b % NRING) * BLK_CHUNKS + (ci % BLK_CHUNKS)]
+        kidx = _lane_iota(CHUNK) + ci * CHUNK
         alpha, rows, _, _, _ = _chunk_alpha(
             chunk, px, py, kidx, start, end, alpha_clip, zb
         )
@@ -316,29 +394,15 @@ def _fwd_kernel(
     )
     c_done, t_vec, acc = jax.lax.while_loop(cond, body, init)
 
-    # drain the in-flight prefetch if the loop early-stopped, so the next
-    # grid step's semaphore state is clean
-    @pl.when(jnp.logical_and(c_done > 0, c_done < n_chunks))
+    # grid end: drain every still-in-flight lookahead DMA so the kernel
+    # exits with balanced semaphores
+    @pl.when(t == pl.num_programs(0) - 1)
     def _():
-        dma(c_done % 2, c_done).wait()
+        def w(bi, _):
+            block_copy(bi).wait()
+            return 0
 
-    # prefetch the NEXT tile's first chunk into slot 0 (its chunk 0 always
-    # maps to slot 0); the next program waits on sem[0] instead of issuing
-    nt = t + 1
-
-    @pl.when(nt < pl.num_programs(0))
-    def _():
-        nstart = starts_ref[nt]
-        nastart = (nstart // CHUNK) * CHUNK
-        n_nc = pl.cdiv(ends_ref[nt] - nastart, CHUNK)
-
-        @pl.when(n_nc > 0)
-        def _():
-            pltpu.make_async_copy(
-                feat_hbm.at[:, pl.ds(nastart, CHUNK)],
-                feat_vmem.at[0],
-                sem.at[0],
-            ).start()
+        jax.lax.fori_loop(cur[0], cur[1], w, 0)
 
     out_ref[0, :, 0:3] = acc[:, 0:3]
     out_ref[0, :, 3:4] = t_vec
@@ -349,11 +413,19 @@ def _fwd_kernel(
     out_ref[0, :, 6:8] = jnp.zeros((p, 2), jnp.float32)
 
 
+def pad_chunk_major(feat_cm: Array) -> Array:
+    """Pad chunk-major (n, 8, CHUNK) rows to a BLK_CHUNKS multiple so every
+    streamed block DMA slice is in bounds."""
+    n = feat_cm.shape[0]
+    n_pad = -(-n // BLK_CHUNKS) * BLK_CHUNKS
+    return jnp.pad(feat_cm, ((0, n_pad - n), (0, 0), (0, 0)))
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "alpha_clip", "early_stop")
 )
-def rasterize_packed_fwd(
-    feat_pk: Array,
+def rasterize_cm_fwd(
+    feat_cm: Array,
     starts: Array,
     ends: Array,
     cfg: TileConfig,
@@ -361,22 +433,24 @@ def rasterize_packed_fwd(
     early_stop: float = 1e-4,
     zbuf: Optional[Array] = None,
 ):
-    """Pallas forward on packed features.
+    """Pallas forward on chunk-major packed features.
 
-    feat_pk: (8, K) int32 packed feature-major instance rows (sorted).
+    feat_cm: (n_chunks, 8, CHUNK) int32 chunk-major instance rows (sorted;
+    see :func:`chunk_major`), n_chunks a BLK_CHUNKS multiple with at least
+    one chunk of slack past the last real instance.
     zbuf: optional (T, P, 1) camera-z buffer for opaque-geometry occlusion.
     Returns (out_tiles (T, P, 8) [r,g,b,T_final,chunks,depth,..],
     chunks_done (T,)).
     """
     t_tiles = cfg.num_tiles
     p = cfg.pixels_per_tile
-    feat_pad = pad_packed(feat_pk)
+    n_blocks = feat_cm.shape[0] // BLK_CHUNKS
     kernel = functools.partial(
         _fwd_kernel, cfg=cfg, alpha_clip=alpha_clip, early_stop=early_stop,
-        has_zbuf=zbuf is not None,
+        has_zbuf=zbuf is not None, n_blocks=n_blocks,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
-    inputs = [feat_pad]
+    inputs = [feat_cm]
     if zbuf is not None:
         in_specs.append(
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
@@ -390,8 +464,9 @@ def rasterize_packed_fwd(
         out_specs=pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, PACKED_ROWS, CHUNK), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NRING * BLK_CHUNKS, PACKED_ROWS, CHUNK), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((NRING,)),
         ],
     )
     out = pl.pallas_call(
@@ -401,6 +476,24 @@ def rasterize_packed_fwd(
         interpret=_use_interpret(),
     )(starts, ends, *inputs)
     return out, out[:, 0, 4].astype(jnp.int32)
+
+
+def rasterize_packed_fwd(
+    feat_pk: Array,
+    starts: Array,
+    ends: Array,
+    cfg: TileConfig,
+    alpha_clip: Optional[float] = None,
+    early_stop: float = 1e-4,
+    zbuf: Optional[Array] = None,
+):
+    """Pallas forward on packed (8, K) features (compat surface; reshapes
+    to the chunk-major streaming layout and runs :func:`rasterize_cm_fwd`)."""
+    feat_cm = pad_chunk_major(chunk_major(pad_packed(feat_pk)))
+    return rasterize_cm_fwd(
+        feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
+        early_stop=early_stop, zbuf=zbuf,
+    )
 
 
 def rasterize_tiles_fwd(

@@ -48,9 +48,13 @@ from splatjax.ops.rasterize import (
     _suffix_cumsum_lanes,
     _pixel_grids,
     _use_interpret,
+    chunk_major,
+    chunk_major_rows,
     pack_feature_rows,
     pack_feature_table,
+    pad_chunk_major,
     pad_packed,
+    rasterize_cm_fwd,
     rasterize_packed_fwd,
     rasterize_tiles_fwd,
 )
@@ -115,8 +119,9 @@ def _bwd_kernel(
         return astart + (c_done - 1 - i) * CHUNK
 
     def feat_dma(i):
+        # feat is chunk-major (n_chunks, 8, CHUNK); base_of is CHUNK-aligned
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(base_of(i), CHUNK)],
+            feat_hbm.at[base_of(i) // CHUNK],
             feat_vmem.at[i % 2], sem_feat.at[i % 2],
         )
 
@@ -271,7 +276,7 @@ def _bwd_kernel(
     @pl.when(in_grid & (n_cd > 0))
     def _():
         pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(nbase, CHUNK)],
+            feat_hbm.at[nbase // CHUNK],
             feat_vmem.at[0], sem_feat.at[0],
         ).start()
 
@@ -295,12 +300,14 @@ def _bwd_kernel(
 
 
 def _bwd_pallas(
-    feat_pk_pad, starts, ends, chunks_done, out_saved, g_out,
+    feat_cm, starts, ends, chunks_done, out_saved, g_out,
     cfg: TileConfig, alpha_clip, zbuf=None,
 ):
+    """feat_cm: chunk-major (n_chunks, 8, CHUNK) packed features (the
+    forward's streaming layout, shared as the VJP residual)."""
     t_tiles = cfg.num_tiles
     p = cfg.pixels_per_tile
-    k_pad = feat_pk_pad.shape[1]
+    k_pad = feat_cm.shape[0] * CHUNK
     kernel = functools.partial(
         _bwd_kernel, cfg=cfg, alpha_clip=alpha_clip, has_zbuf=zbuf is not None
     )
@@ -313,7 +320,7 @@ def _bwd_pallas(
         pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),  # saved fwd out (T_final)
     ]
-    inputs = [feat_pk_pad, zeros, g_out, out_saved]
+    inputs = [feat_cm, zeros, g_out, out_saved]
     if zbuf is not None:
         in_specs.append(
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
@@ -384,8 +391,9 @@ def _bwd_rule(cfg, alpha_clip, early_stop, residuals, cotangents):
     del early_stop
     feat_pk, starts, ends, out_tiles, chunks_done = residuals
     g_out, _ = cotangents
+    feat_cm = pad_chunk_major(chunk_major(pad_packed(feat_pk)))
     g_feat = _bwd_pallas(
-        pad_packed(feat_pk), starts, ends, chunks_done, out_tiles,
+        feat_cm, starts, ends, chunks_done, out_tiles,
         g_out.astype(jnp.float32), cfg, alpha_clip,
     )
     return g_feat[:FEAT_DIM, : feat_pk.shape[1]], None, None
@@ -426,9 +434,11 @@ def rasterize_gathered(
     zbuf: optional (T, P, 1) camera-z buffer (opaque-geometry occlusion).
     Returns (out_tiles (T, P, 8), chunks_done (T,)).
     """
-    feat_pk = pack_feature_table(feat_n)[gid].T        # (8, K) int32
-    return rasterize_packed_fwd(
-        feat_pk, starts, ends, cfg, alpha_clip=alpha_clip,
+    # gathered (K, 8) rows go straight to the streaming chunk-major layout
+    # (one shuffle — same cost as the (8, K) transpose it replaces)
+    feat_cm = chunk_major_rows(pack_feature_table(feat_n)[gid])
+    return rasterize_cm_fwd(
+        feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
         early_stop=early_stop, zbuf=zbuf,
     )
 
@@ -436,27 +446,27 @@ def rasterize_gathered(
 def _gathered_fwd_rule(feat_n, gid, starts, ends, cum, count, perm,
                        cum_d, count_d, overflow, zbuf,
                        cfg, alpha_clip, early_stop):
-    feat_pk = pack_feature_table(feat_n)[gid].T
-    out = rasterize_packed_fwd(
-        feat_pk, starts, ends, cfg, alpha_clip=alpha_clip,
+    feat_cm = chunk_major_rows(pack_feature_table(feat_n)[gid])
+    out = rasterize_cm_fwd(
+        feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
         early_stop=early_stop, zbuf=zbuf,
     )
     out_tiles, chunks_done = out
-    res = (feat_pk, gid, starts, ends, cum, count, perm, cum_d, count_d,
+    res = (feat_cm, gid, starts, ends, cum, count, perm, cum_d, count_d,
            overflow, zbuf, out_tiles, chunks_done)
     return out, res
 
 
 def _gathered_bwd_rule(cfg, alpha_clip, early_stop, res, cotangents):
     del early_stop
-    (feat_pk, gid, starts, ends, cum, count, perm, cum_d, count_d,
+    (feat_cm, gid, starts, ends, cum, count, perm, cum_d, count_d,
      overflow, zbuf, out_tiles, chunks_done) = res
     g_out, _ = cotangents
     g_feat = _bwd_pallas(
-        pad_packed(feat_pk), starts, ends, chunks_done, out_tiles,
+        feat_cm, starts, ends, chunks_done, out_tiles,
         g_out.astype(jnp.float32), cfg, alpha_clip, zbuf=zbuf,
     )
-    gt = g_feat[:FEAT_DIM, : feat_pk.shape[1]]         # (16, K)
+    gt = g_feat[:FEAT_DIM, : gid.shape[0]]             # (16, K)
     seg = segment_sum_by_gid(
         gt, gid, cum, count, perm, cum_d, count_d, overflow
     )                                                  # (N, 16)
