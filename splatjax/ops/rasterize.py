@@ -250,6 +250,48 @@ def _suffix_cumsum_lanes(x):
     return x
 
 
+# ---- MXU scan reformulation -------------------------------------------
+# A lane scan (Hillis-Steele) costs log2(128)=7 rounds of roll+select+op on
+# a (P, CHUNK) tile — ~21 VPU ops, the single largest compute block in both
+# kernels. A cumsum along lanes is also a matmul against a constant 0/1
+# triangular matrix, which the MXU does for ~free next to the VPU cost:
+#   prefix:  out[p,k] = sum_j x[p,j] * [j <= k]
+#   suffix:  out[p,k] = sum_j x[p,j] * [j >= k]
+# and cumprod becomes exp(tri_cumsum(log1p(-alpha))) — two transcendentals
+# replacing the 7-round product scan. The 0/1 mask is bf16-exact; the data
+# operand keeps full f32 mantissa via Precision.HIGHEST (the one-hot/
+# selection-matmul rule: MXU default bf16 passes corrupt anything needing
+# more than 8 mantissa bits).
+
+
+def _tri_mask(cols: int, suffix: bool):
+    j = jax.lax.broadcasted_iota(jnp.int32, (cols, cols), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (cols, cols), 1)
+    keep = (j >= k) if suffix else (j <= k)
+    return keep.astype(jnp.float32)
+
+
+def _tri_cumsum(x, mask):
+    """Inclusive lane cumsum of (P, C) x against a precomputed (C, C)
+    triangular 0/1 mask (see :func:`_tri_mask`) on the MXU."""
+    return jax.lax.dot_general(
+        x, mask, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+# log1p(-alpha) clamp: exp(-60) ~ 8.8e-27 stands in for "opaque" (alpha=1,
+# true factor 0); any product below exp(-87) underflows to exactly 0.0 in
+# f32 anyway, and transmittance this small is far past every early-stop /
+# gradient threshold.
+_LOG_OM_MIN = -60.0
+
+
+def _log_om(alpha):
+    return jnp.maximum(jnp.log1p(-alpha), _LOG_OM_MIN)
+
+
 def _chunk_alpha(chunk, px, py, kidx, start, end, alpha_clip, zb=None):
     """Alpha matrix (P, CHUNK) for one packed feature chunk at tile pixels.
 
@@ -350,6 +392,8 @@ def _fwd_kernel(
         cur[0] = jnp.maximum(waited, b + 1)
         cur[1] = fetched
 
+    tri_pre = _tri_mask(CHUNK, suffix=False)
+
     def body(state):
         c, t_vec, acc = state
         ci = astart // CHUNK + c           # global chunk index
@@ -364,8 +408,8 @@ def _fwd_kernel(
         alpha, rows, _, _, _ = _chunk_alpha(
             chunk, px, py, kidx, start, end, alpha_clip, zb
         )
-        om = 1.0 - alpha
-        cum = _cumprod_lanes(om)                          # (P, CHUNK)
+        # inclusive cumprod of (1-alpha) via the MXU (see _tri_cumsum)
+        cum = jnp.exp(_tri_cumsum(_log_om(alpha), tri_pre))  # (P, CHUNK)
         rolled = pltpu.roll(cum, 1, axis=1)
         col0 = _lane_iota(CHUNK) == 0
         t_excl = jnp.where(col0, 1.0, rolled)             # exclusive cumprod

@@ -44,8 +44,9 @@ from splatjax.ops.rasterize import (
     PACKED_ROWS,
     _chunk_alpha,
     _lane_iota,
-    _suffix_cumprod_lanes,
-    _suffix_cumsum_lanes,
+    _log_om,
+    _tri_cumsum,
+    _tri_mask,
     _pixel_grids,
     _use_interpret,
     chunk_major,
@@ -147,6 +148,8 @@ def _bwd_kernel(
         feat_dma(0).start()
         gold_dma(0).start()
 
+    tri_suf = _tri_mask(CHUNK, suffix=True)
+
     def body(i, carry):
         t_after, s_u = carry
         base = base_of(i)
@@ -163,8 +166,9 @@ def _bwd_kernel(
             chunk, px, py, kidx, start, end, alpha_clip, zb
         )
         om = 1.0 - alpha
-        # suffix inclusive cumprod along lanes: Q_k = prod_{j>=k} om_j
-        q = _suffix_cumprod_lanes(om)
+        # suffix inclusive cumprod Q_k = prod_{j>=k} om_j — on the MXU
+        # (rasterize._tri_cumsum): exp(suffix_cumsum(log1p(-alpha)))
+        q = jnp.exp(_tri_cumsum(_log_om(alpha), tri_suf))
         q_ok = q > 0.0
         t_k = jnp.where(q_ok, t_after / jnp.where(q_ok, q, 1.0), 0.0)
 
@@ -186,7 +190,7 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )                                        # (P, CHUNK)
         u = alpha * t_k * gdotc                  # (P, CHUNK)
-        inc_u = _suffix_cumsum_lanes(u)
+        inc_u = _tri_cumsum(u, tri_suf)          # suffix cumsum on the MXU
         sx_u = inc_u - u + s_u                   # exclusive suffix + carry
         tot_u = inc_u[:, 0:1]
 
