@@ -45,6 +45,7 @@ from splatjax.ops.rasterize import (
     _chunk_alpha,
     _lane_iota,
     _log_om,
+    _power_basis,
     _tri_cumsum,
     _tri_mask,
     _pixel_grids,
@@ -105,10 +106,7 @@ def _bwd_kernel(
     oy = (t // cfg.tiles_x).astype(jnp.float32) * cfg.tile_h
     pxl = px - ox                        # (P, 1) in [0.5, tile_w)
     pyl = py - oy
-    ones_p = jnp.ones_like(pxl)
-    basis6 = jnp.concatenate(
-        [ones_p, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl], axis=1
-    )                                    # (P, 6)
+    basis6 = _power_basis(pxl, pyl)      # (P, 6) — shared with _chunk_alpha
     cot4 = jnp.concatenate([g_r, g_g, g_b, g_d], axis=1)   # (P, 4)
 
     # Walk chunks in reverse: iteration i handles chunk c = c_done-1-i.
@@ -162,8 +160,8 @@ def _bwd_kernel(
         feat_dma(i).wait()
         chunk = feat_vmem[i % 2]
         kidx = _lane_iota(CHUNK) + base
-        alpha, rows, dx, dy, in_range = _chunk_alpha(
-            chunk, px, py, kidx, start, end, alpha_clip, zb
+        alpha, rows, in_range = _chunk_alpha(
+            chunk, basis6, ox, oy, kidx, start, end, alpha_clip, zb
         )
         om = 1.0 - alpha
         # suffix inclusive cumprod Q_k = prod_{j>=k} om_j — on the MXU

@@ -216,3 +216,50 @@ def test_gather_features_vjp_matches_scatter_oracle():
     # with zero-count gaussians interleaved.
     _gather_vjp_case(n=37, cap=64, seed=3, force_truncation=True)
     _gather_vjp_case(n=23, cap=256, seed=4, force_truncation=False)
+
+
+def test_sparse_tiles_block_jumps():
+    """Ring-DMA stress: a scene whose splats cluster in a few far-apart
+    tiles leaves most tile ranges empty, so the forward kernel's streaming
+    ring takes its block-jump path (skipping never-issued blocks) many
+    times. Must still match the ground-truth image."""
+    from splatjax.scene import GaussianScene
+
+    rng = np.random.default_rng(7)
+    # three tight clusters widely separated on screen + empty space
+    centers = np.array([[-0.9, -0.7, 0], [0.9, 0.8, 0], [0.0, 0.0, 0.4]])
+    means = np.concatenate(
+        [c + rng.normal(scale=0.02, size=(60, 3)) for c in centers]
+    ).astype(np.float32)
+    n = means.shape[0]
+    scales = rng.uniform(0.005, 0.02, size=(n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    scene = GaussianScene(
+        means=jnp.asarray(means), scales=jnp.asarray(scales),
+        quats=jnp.asarray(quats),
+        colors=jnp.asarray(rng.uniform(0.1, 1.0, (n, 3)).astype(np.float32)),
+        opacities=jnp.asarray(
+            rng.uniform(0.5, 1.0, size=n).astype(np.float32)
+        ),
+    )
+    cam = make_camera((0, 0, 2.5), (0, 0, 0), width=160, height=112)
+    ref = np.asarray(render_reference(scene, cam, pixel_chunk=512))
+    ours = np.asarray(render(scene, cam, early_stop=0.0))
+    assert np.abs(ours - ref).max() < 1e-3
+
+
+def test_early_stop_opaque_wall_ring_drain():
+    """Early termination mid-tile (an opaque near wall in every tile) makes
+    the kernel abandon in-flight lookahead blocks; the grid-end drain must
+    keep semaphores balanced and the image correct."""
+    import dataclasses
+
+    scene, cam = _scene_cam(n=800, seed=31)
+    # crank opacity so tiles saturate after a few instances
+    scene = dataclasses.replace(
+        scene, opacities=jnp.full_like(scene.opacities, 0.98)
+    )
+    exact = np.asarray(render(scene, cam, early_stop=0.0))
+    fast = np.asarray(render(scene, cam, early_stop=1e-3))
+    assert np.abs(exact - fast).max() < 2e-3
