@@ -12,7 +12,7 @@ from splatjax.scene import (
     build_covariances,
 )
 from splatjax.camera import Camera, make_camera, perspective, look_at
-from splatjax.render import render
+from splatjax.render import composite_over, render, render_instances
 from splatjax import io
 
 __version__ = "0.1.0"
@@ -23,6 +23,8 @@ __all__ = [
     "build_covariances",
     "Camera",
     "render",
+    "render_instances",
+    "composite_over",
     "make_camera",
     "perspective",
     "look_at",
