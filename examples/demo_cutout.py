@@ -14,6 +14,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
+
+from splatjax.utils import write_png
 import jax
 import jax.numpy as jnp
 
@@ -44,10 +46,10 @@ def main():
     img_full = np.asarray(jax.block_until_ready(full.render(cam)))
     img_cut = np.asarray(jax.block_until_ready(clipped.render(cam)))
     side = np.concatenate([img_full, img_cut], axis=1)
-    np.save("/tmp/splatjax_cutout_demo.npy", side)
+    write_png("/tmp/splatjax_cutout_demo.png", side)
     kept = (img_cut[..., 3] > 0).sum() / max((img_full[..., 3] > 0).sum(), 1)
     print(f"cutout kept {kept*100:.1f}% of covered pixels "
-          f"-> /tmp/splatjax_cutout_demo.npy")
+          f"-> /tmp/splatjax_cutout_demo.png")
 
 
 if __name__ == "__main__":

@@ -17,6 +17,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
+
+from splatjax.utils import write_png
 import jax.numpy as jnp
 
 from splatjax.camera import make_camera
@@ -83,8 +85,8 @@ def main():
         img = render(scene, cam, zbuf=jnp.asarray(zbuf))
         frame = composite_over(img, jnp.asarray(sphere_rgb),
                                under_mask=jnp.asarray(hit))
-        path = os.path.join(args.out, f"frame_{f:02d}.npy")
-        np.save(path, np.asarray(frame))
+        path = os.path.join(args.out, f"frame_{f:02d}.png")
+        write_png(path, np.asarray(frame))
         print(f"frame {f}: sphere at {np.round(center, 2)} -> {path}")
     print("done:", args.out)
 

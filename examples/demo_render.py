@@ -2,7 +2,7 @@
 
 The TPU-native analogue of the reference's index.html demo page
 (index.html:8-14): a splat scene plus animated viewpoints. Writes PNG-like
-.npy frames (no image deps in the container) and prints per-frame timings.
+.png frames (stdlib-only PNG writer, splatjax.utils.png) and prints per-frame timings.
 
     python examples/demo_render.py [scene.splat|scene.ply] [--frames 8]
 """
@@ -16,6 +16,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
+
+from splatjax.utils import write_png
 import jax
 
 
@@ -57,8 +59,8 @@ def main():
         # force full materialization for honest timing
         _ = float(img[0, 0, 0])
         dt = time.time() - t0
-        path = f"{args.out}/frame_{i:03d}.npy"
-        np.save(path, img)
+        path = f"{args.out}/frame_{i:03d}.png"
+        write_png(path, img)
         print(f"frame {i}: {dt*1e3:.1f} ms  alpha_max={img[..., 3].max():.3f}"
               f"  -> {path}")
 
