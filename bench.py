@@ -42,8 +42,39 @@ def main():
     iters = int(os.environ.get("SPLATJAX_BENCH_ITERS", 10))
 
     # scale_range tuned so a 1M scene lands ~3-4 duplicated instances per
-    # splat at 1080p (train.splat-like screen footprints)
-    scene = synthetic_scene(n, seed=7, extent=1.0, scale_range=(0.002, 0.008))
+    # splat at 1080p (train.splat-like screen footprints). With
+    # SPLATJAX_BENCH_SRC=trained the in-repo trained fixture (real 3DGS
+    # optimization statistics: anisotropic covariances, optimizer-shaped
+    # opacities) is tiled with jittered offsets up to n splats instead.
+    src = os.environ.get("SPLATJAX_BENCH_SRC", "synthetic")
+    if src == "synthetic":
+        scene = synthetic_scene(
+            n, seed=7, extent=1.0, scale_range=(0.002, 0.008)
+        )
+    else:
+        from splatjax.io import load_splat  # noqa: E402
+        from splatjax.scene import GaussianScene  # noqa: E402
+
+        here = (
+            os.path.dirname(os.path.abspath(__file__))
+            if "__file__" in globals() else os.getcwd()
+        )
+        path = src if src != "trained" else os.path.join(
+            here, "tests", "fixtures", "trained_scene.splat"
+        )
+        base = load_splat(path)
+        reps = -(-n // base.num_gaussians)
+        rng = np.random.default_rng(11)
+        offs = rng.uniform(-0.9, 0.9, (reps, 3)).astype(np.float32)
+        scene = GaussianScene(
+            means=jnp.concatenate(
+                [base.means * 0.25 + o for o in offs]
+            )[:n],
+            scales=jnp.tile(base.scales * 0.25, (reps, 1))[:n],
+            quats=jnp.tile(base.quats, (reps, 1))[:n],
+            colors=jnp.tile(base.colors, (reps, 1))[:n],
+            opacities=jnp.tile(base.opacities, reps)[:n],
+        )
     cam = make_camera((0, 0, 2.8), (0, 0, 0), width=width, height=height)
     # device_put: passthrough leaves (means, quats) would otherwise stay
     # NumPy and be re-uploaded on every call (~28 MB/frame over the tunnel)
