@@ -29,10 +29,17 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+def _grad_gather_bf16() -> bool:
+    """Opt-in bf16 packing of the backward's gradient-row gather
+    (SPLATJAX_GRAD_GATHER=bf16). Read at trace time."""
+    return os.environ.get("SPLATJAX_GRAD_GATHER", "f32") == "bf16"
 
 from splatjax.ops.projection import ProjectedGaussians
 
@@ -169,6 +176,7 @@ def segment_sum_by_gid(
 
     k = gid.shape[0]
     n = cum.shape[0]
+    c = g.shape[0]
 
     def _truncated(_):
         # included instances per depth-rank: what fits before capacity
@@ -187,7 +195,25 @@ def segment_sum_by_gid(
     _, order = jax.lax.sort(
         (gid, jnp.arange(k, dtype=jnp.int32)), is_stable=True, num_keys=1
     )
-    gs = gt[order]                                       # (K, C) by gaussian
+    if _grad_gather_bf16() and c % 2 == 0:
+        # Halve the dominant backward cost — the K-row random-permutation
+        # gather of gradient rows (~39 ms at 3M x 64 B on v5e; 32 B rows
+        # gather ~40% faster) — by packing two bf16 per int32 lane around
+        # the gather only. Gradients re-enter f32 before the segment sum;
+        # the bf16 rounding (~2^-9 relative per element) is far below
+        # optimizer noise. Opt-in: SPLATJAX_GRAD_GATHER=bf16.
+        u = jax.lax.bitcast_convert_type(
+            gt.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)                             # (K, C)
+        packed = ((u[:, 1::2] << 16) | u[:, 0::2]).astype(jnp.int32)
+        gp = packed[order].astype(jnp.uint32)            # (K, C/2) gather
+        lo = (gp & 0xFFFF).astype(jnp.uint16)
+        hi = (gp >> 16).astype(jnp.uint16)
+        gs = jax.lax.bitcast_convert_type(
+            jnp.stack([lo, hi], axis=-1).reshape(k, c), jnp.bfloat16
+        ).astype(jnp.float32)                            # (K, C) by gaussian
+    else:
+        gs = gt[order]                                   # (K, C) by gaussian
     # per-gaussian runs are [eff_cum[g-1], eff_cum[g]) in this order; the
     # sentinel tail (gid n-1, zero rows) sorts after gaussian n-1's real
     # run and matches no lane in the kernel. Pad rows/runs to the kernel's
