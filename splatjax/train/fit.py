@@ -102,6 +102,79 @@ def make_train_step(
     return step, opt
 
 
+def make_dp_train_step(
+    cameras: Sequence[Camera],
+    cfg: FitConfig,
+    capacity: int,
+    mesh,
+    axis: str = "dev",
+):
+    """Data-parallel train step: one view per device, grads psum'd.
+
+    The canonical DP sharding (SURVEY.md §5): parameters are replicated,
+    each device renders + differentiates its OWN view of the per-step
+    batch, and parameter gradients reduce over the mesh with one psum that
+    XLA schedules against the backward sweep. The optimizer update runs on
+    the reduced mean gradient, so a B-view DP step equals a single-chip
+    step on the averaged loss of those B views.
+
+    Returns (step, opt); step(params, opt_state, mvs, prs, targets) takes
+    stacked (B, 4, 4) camera matrices and (B, H, W, 4) targets with
+    B == mesh size.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    w, h = cameras[0].width, cameras[0].height
+    opt = _optimizer(cfg)
+    n_dev = 1
+    for name in ([axis] if isinstance(axis, str) else axis):
+        n_dev *= mesh.shape[name]
+
+    def loss_fn(params, modelview, projection, target):
+        cam = Camera(modelview=modelview, projection=projection,
+                     width=w, height=h)
+        img = render(
+            params.to_scene(), cam,
+            capacity=capacity,
+            alpha_clip=cfg.alpha_clip,
+            early_stop=cfg.early_stop,
+        )
+        return combined_loss(img, target, ssim_weight=cfg.ssim_weight), img
+
+    def shard_fn(params, mv, pr, target):
+        # local leading dim is 1: this device's view of the batch
+        (loss, img), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mv[0], pr[0], target[0]
+        )
+        grads = jax.tree_util.tree_map(
+            lambda gr: jax.lax.psum(gr, axis) / n_dev, grads
+        )
+        loss = jax.lax.psum(loss, axis) / n_dev
+        p = jax.lax.psum(psnr(img, target[0]), axis) / n_dev
+        gnorm = jnp.linalg.norm(grads.means, axis=-1)
+        return grads, loss[None], p[None], gnorm
+
+    spec_b = P(axis)
+    spec_r = P()
+    sharded = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec_r, spec_b, spec_b, spec_b),
+        out_specs=(spec_r, spec_b, spec_b, spec_r),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(params, opt_state, mvs, prs, targets):
+        grads, loss, p, gnorm = sharded(params, mvs, prs, targets)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss[0], p[0], gnorm
+
+    return step, opt
+
+
 def fit(
     initial: TrainableGaussians | GaussianScene,
     cameras: Sequence[Camera],
@@ -115,6 +188,8 @@ def fit(
     densify: Optional["DensifyConfig"] = None,
     densify_seed: int = 0,
     log_fn: Callable[[dict], None] = None,
+    mesh=None,
+    dp_axis: str = "dev",
 ):
     """Optimize gaussians to match target images. Returns (params, history).
 
@@ -141,8 +216,17 @@ def fit(
     else:
         params = initial
 
+    n_dp = 1
+    if mesh is not None:
+        for name in ([dp_axis] if isinstance(dp_axis, str) else dp_axis):
+            n_dp *= mesh.shape[name]
+
     def build_step(n):
         capacity = cfg.capacity or default_capacity(n)
+        if mesh is not None:
+            return make_dp_train_step(
+                cameras, cfg, capacity, mesh, axis=dp_axis
+            )
         return make_train_step(cameras, cfg, capacity)
 
     n_rows = params.means.shape[0]
@@ -175,10 +259,20 @@ def fit(
     history = []
     t_start = time.time()
     for i in range(start_step, cfg.steps):
-        vi = i % len(cameras)
-        params, opt_state, loss, p, gnorm = step_fn(
-            params, opt_state, mvs[vi], projs[vi], targets[vi]
-        )
+        if mesh is not None:
+            # data-parallel: the next n_dp views round-robin, one per device
+            vis = [(i * n_dp + j) % len(cameras) for j in range(n_dp)]
+            params, opt_state, loss, p, gnorm = step_fn(
+                params, opt_state,
+                jnp.stack([mvs[v] for v in vis]),
+                jnp.stack([projs[v] for v in vis]),
+                jnp.stack([targets[v] for v in vis]),
+            )
+        else:
+            vi = i % len(cameras)
+            params, opt_state, loss, p, gnorm = step_fn(
+                params, opt_state, mvs[vi], projs[vi], targets[vi]
+            )
         if densify is not None:
             grad_sum += np.asarray(gnorm, np.float64)
             grad_cnt += 1

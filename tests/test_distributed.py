@@ -153,3 +153,74 @@ def test_sharded_overflow_surfaced():
         scene, cam, mesh, capacity=64, return_overflow=True
     )
     assert int(np.sum(np.asarray(overflow2))) > 0
+
+
+def test_dp_train_step_matches_averaged_single_chip():
+    """A data-parallel train step (one view per device, grads psum'd) must
+    equal a single-chip step on the mean gradient of the same views."""
+    import optax
+    from splatjax.camera import make_camera
+    from splatjax.scene import TrainableGaussians
+    from splatjax.train import FitConfig, make_dp_train_step
+    from splatjax.train.fit import _optimizer
+    from splatjax.train.loss import combined_loss
+    from splatjax.render import render
+    from splatjax.parallel import make_mesh
+
+    scene, _ = _setup(seed=97)
+    params = TrainableGaussians.from_scene(scene)
+    cams = [
+        make_camera(
+            (0.5 * np.cos(a), 0.2, 2.0 + 0.3 * np.sin(a)), (0, 0, 0),
+            width=48, height=32,
+        )
+        for a in np.linspace(0, 1.5, 8)
+    ]
+    rng = np.random.default_rng(3)
+    targets = [
+        jnp.asarray(rng.random((32, 48, 4)).astype(np.float32))
+        for _ in cams
+    ]
+    cfg = FitConfig(capacity=2048, early_stop=0.0)
+    mesh = make_mesh(8)
+    step, opt = make_dp_train_step(cams, cfg, 2048, mesh)
+    opt_state = opt.init(params)
+    p_dp, _, loss_dp, _, _ = step(
+        params, opt_state,
+        jnp.stack([c.modelview for c in cams]),
+        jnp.stack([c.projection for c in cams]),
+        jnp.stack(targets),
+    )
+
+    # manual: mean gradient over the 8 views, same optimizer
+    def one_loss(p, cam, t):
+        img = render(p.to_scene(), cam, capacity=2048,
+                     alpha_clip=cfg.alpha_clip, early_stop=0.0)
+        return combined_loss(img, t, ssim_weight=cfg.ssim_weight)
+
+    grads = None
+    losses = []
+    for cam, t in zip(cams, targets):
+        l, g = jax.value_and_grad(one_loss)(params, cam, t)
+        losses.append(float(l))
+        grads = g if grads is None else jax.tree_util.tree_map(
+            jnp.add, grads, g
+        )
+    grads = jax.tree_util.tree_map(lambda x: x / 8.0, grads)
+    opt2 = _optimizer(cfg)
+    st2 = opt2.init(params)
+    upd, _ = opt2.update(grads, st2, params)
+    p_ref = optax.apply_updates(params, upd)
+
+    assert abs(float(loss_dp) - np.mean(losses)) < 1e-4
+    # Adam turns f32 summation-order differences on near-zero gradients
+    # into up-to-lr sign-flipped updates, so: almost all elements tight,
+    # every element within one Adam step of the reference.
+    for leaf, ref, lr in (
+        (p_dp.means, p_ref.means, cfg.lr_means),
+        (p_dp.log_scales, p_ref.log_scales, cfg.lr_scales),
+        (p_dp.logit_opacities, p_ref.logit_opacities, cfg.lr_opacities),
+    ):
+        diff = np.abs(np.asarray(leaf) - np.asarray(ref))
+        assert (diff < 1e-6).mean() > 0.98, (diff < 1e-6).mean()
+        assert diff.max() <= 2.05 * lr, (diff.max(), lr)
