@@ -1,5 +1,6 @@
 from splatjax.parallel.mesh import init_distributed, make_mesh, make_mesh_2d
 from splatjax.parallel.dist_render import padded_band_height, render_sharded
+from splatjax.parallel.dist_train import make_dp_band_train_step
 
 __all__ = [
     "init_distributed",
@@ -7,4 +8,5 @@ __all__ = [
     "make_mesh_2d",
     "padded_band_height",
     "render_sharded",
+    "make_dp_band_train_step",
 ]

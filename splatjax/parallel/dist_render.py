@@ -107,6 +107,110 @@ def _mesh_axis_size(mesh: Mesh, axis: AxisName) -> int:
     return out
 
 
+def _band_render_body(
+    means, scales, quats, colors, opacities, mv, pr, *,
+    axis: AxisName, n_dev: int, width: int, height: int, band_h: int,
+    cfg_band: TileConfig, pair_capacity: int, capacity: int,
+    alpha_clip, early_stop: float, redistribute: str,
+):
+    """Per-device body of the band-sharded render (runs inside shard_map
+    over ``axis``): local projection -> fixed-capacity all_to_all
+    redistribution -> band-local binning + fused rasterize. Returns
+    (out_tiles (T_band, P, 8), my_drop (1,)). Differentiable — jax
+    transposes the all_to_all/all_gather and keeps parameter gradients on
+    the owning shard."""
+    proj_local = project_gaussians(
+        means, cov3d=build_covariances(quats, scales),
+        colors=colors, opacities=opacities,
+        modelview=mv, projection=pr,
+        width=width, height=height,
+        max_scales=jnp.max(scales, axis=-1),
+    )
+    packed = _pack_projected(proj_local)              # (n_loc, 13)
+    pair_drop = jnp.zeros((n_dev,), jnp.int32)
+
+    if redistribute == "all_gather":
+        packed_all = jax.lax.all_gather(
+            packed, axis, axis=0, tiled=True
+        )                                              # (N, 13)
+    else:
+        # bands intersected by each gaussian's rendered bbox
+        my = proj_local.mean2d[:, 1]
+        by = proj_local.bbox_half[:, 1]
+        fb0 = jnp.floor((my - by) / band_h).astype(jnp.int32)
+        fb1 = jnp.floor((my + by) / band_h).astype(jnp.int32)
+        on = proj_local.mask & (fb1 >= 0) & (fb0 <= n_dev - 1)
+        b0 = jnp.clip(fb0, 0, n_dev - 1)
+        b1 = jnp.clip(fb1, 0, n_dev - 1)
+        span = b1 - b0 + 1
+        # spans beyond MAX_BANDS: tail bands dropped (counted below)
+        dests = b0[None, :] + jnp.arange(
+            MAX_BANDS, dtype=jnp.int32
+        )[:, None]                                      # (MAXB, n_loc)
+        ok = on[None, :] & (dests <= b1[None, :])
+        dest = jnp.where(ok, dests, n_dev).reshape(-1)  # sentinel last
+        order_key, e_sorted = jax.lax.sort(
+            (dest, jnp.arange(dest.shape[0], dtype=jnp.int32)),
+            is_stable=True, num_keys=1,
+        )
+        bounds = jnp.searchsorted(
+            order_key, jnp.arange(n_dev + 1, dtype=jnp.int32),
+            side="left",
+        )
+        n_loc = means.shape[0]
+        idx = bounds[:-1, None] + jnp.arange(
+            pair_capacity, dtype=jnp.int32
+        )[None, :]                                      # (D, cap_pair)
+        take = jnp.minimum(idx, dest.shape[0] - 1)
+        src_g = e_sorted[take] % n_loc
+        valid_row = idx < bounds[1:, None]
+        send = jnp.where(
+            valid_row[:, :, None], packed[src_g], 0.0
+        )                                               # (D, cap, 13)
+        pair_drop = jnp.maximum(
+            bounds[1:] - bounds[:-1] - pair_capacity, 0
+        ) + jnp.zeros((n_dev,), jnp.int32)
+        # rows lost to the MAX_BANDS span cap, attributed per gaussian
+        span_drop = jnp.sum(
+            jnp.where(on, jnp.maximum(span - MAX_BANDS, 0), 0)
+        )
+        pair_drop = pair_drop + span_drop // n_dev      # spread estimate
+        recv = jax.lax.all_to_all(
+            send, axis, split_axis=0, concat_axis=0, tiled=True
+        )                                               # (D*cap, 13)
+        packed_all = recv.reshape(n_dev * pair_capacity, 13)
+
+    proj = _unpack_projected(packed_all)
+    d = _axis_flat_index(axis)
+    # shift into band-local pixel coordinates (y-up, bands bottom-up)
+    shift = (d * band_h).astype(jnp.float32)
+    proj = ProjectedGaussians(
+        mean2d=proj.mean2d - jnp.stack(
+            [jnp.zeros_like(shift), shift]
+        )[None, :],
+        conic=proj.conic,
+        depth=proj.depth,
+        mask=proj.mask,
+        bbox_half=proj.bbox_half,
+        color=proj.color,
+        opacity=proj.opacity,
+    )
+    binned = bin_gaussians(proj, cfg_band, capacity, with_features=False)
+    out_tiles, _ = rasterize_gathered(
+        features_from_projection(proj),
+        binned.gauss_id, binned.starts, binned.ends,
+        binned.cum, binned.count, binned.perm,
+        binned.cum_d, binned.count_d, binned.overflow,
+        None, cfg_band, alpha_clip, early_stop,
+    )
+    # per-band total drop: local binning overflow + transfer drops
+    # destined here from every source (psum'd)
+    my_drop = binned.overflow + jax.lax.psum(
+        pair_drop, axis
+    )[d] if redistribute == "all_to_all" else binned.overflow
+    return out_tiles, my_drop[None]
+
+
 def render_sharded(
     scene: GaussianScene,
     camera: Camera,
@@ -149,95 +253,14 @@ def render_sharded(
     cfg_band = TileConfig(camera.width, band_h, tile_size, tile_size)
 
     def shard_fn(means, scales, quats, colors, opacities, mv, pr):
-        proj_local = project_gaussians(
-            means, cov3d=build_covariances(quats, scales),
-            colors=colors, opacities=opacities,
-            modelview=mv, projection=pr,
-            width=camera.width, height=camera.height,
-            max_scales=jnp.max(scales, axis=-1),
+        return _band_render_body(
+            means, scales, quats, colors, opacities, mv, pr,
+            axis=axis, n_dev=n_dev, width=camera.width,
+            height=camera.height, band_h=band_h, cfg_band=cfg_band,
+            pair_capacity=pair_capacity, capacity=capacity,
+            alpha_clip=alpha_clip, early_stop=early_stop,
+            redistribute=redistribute,
         )
-        packed = _pack_projected(proj_local)              # (n_loc, 13)
-        pair_drop = jnp.zeros((n_dev,), jnp.int32)
-
-        if redistribute == "all_gather":
-            packed_all = jax.lax.all_gather(
-                packed, axis, axis=0, tiled=True
-            )                                              # (N, 13)
-        else:
-            # bands intersected by each gaussian's rendered bbox
-            my = proj_local.mean2d[:, 1]
-            by = proj_local.bbox_half[:, 1]
-            fb0 = jnp.floor((my - by) / band_h).astype(jnp.int32)
-            fb1 = jnp.floor((my + by) / band_h).astype(jnp.int32)
-            on = proj_local.mask & (fb1 >= 0) & (fb0 <= n_dev - 1)
-            b0 = jnp.clip(fb0, 0, n_dev - 1)
-            b1 = jnp.clip(fb1, 0, n_dev - 1)
-            span = b1 - b0 + 1
-            # spans beyond MAX_BANDS: tail bands dropped (counted below)
-            dests = b0[None, :] + jnp.arange(
-                MAX_BANDS, dtype=jnp.int32
-            )[:, None]                                      # (MAXB, n_loc)
-            ok = on[None, :] & (dests <= b1[None, :])
-            dest = jnp.where(ok, dests, n_dev).reshape(-1)  # sentinel last
-            order_key, e_sorted = jax.lax.sort(
-                (dest, jnp.arange(dest.shape[0], dtype=jnp.int32)),
-                is_stable=True, num_keys=1,
-            )
-            bounds = jnp.searchsorted(
-                order_key, jnp.arange(n_dev + 1, dtype=jnp.int32),
-                side="left",
-            )
-            idx = bounds[:-1, None] + jnp.arange(
-                pair_capacity, dtype=jnp.int32
-            )[None, :]                                      # (D, cap_pair)
-            take = jnp.minimum(idx, dest.shape[0] - 1)
-            src_g = e_sorted[take] % n_loc
-            valid_row = idx < bounds[1:, None]
-            send = jnp.where(
-                valid_row[:, :, None], packed[src_g], 0.0
-            )                                               # (D, cap, 13)
-            pair_drop = jnp.maximum(
-                bounds[1:] - bounds[:-1] - pair_capacity, 0
-            ) + jnp.zeros((n_dev,), jnp.int32)
-            # rows lost to the MAX_BANDS span cap, attributed per gaussian
-            span_drop = jnp.sum(
-                jnp.where(on, jnp.maximum(span - MAX_BANDS, 0), 0)
-            )
-            pair_drop = pair_drop + span_drop // n_dev      # spread estimate
-            recv = jax.lax.all_to_all(
-                send, axis, split_axis=0, concat_axis=0, tiled=True
-            )                                               # (D*cap, 13)
-            packed_all = recv.reshape(n_dev * pair_capacity, 13)
-
-        proj = _unpack_projected(packed_all)
-        d = _axis_flat_index(axis)
-        # shift into band-local pixel coordinates (y-up, bands bottom-up)
-        shift = (d * band_h).astype(jnp.float32)
-        proj = ProjectedGaussians(
-            mean2d=proj.mean2d - jnp.stack(
-                [jnp.zeros_like(shift), shift]
-            )[None, :],
-            conic=proj.conic,
-            depth=proj.depth,
-            mask=proj.mask,
-            bbox_half=proj.bbox_half,
-            color=proj.color,
-            opacity=proj.opacity,
-        )
-        binned = bin_gaussians(proj, cfg_band, capacity, with_features=False)
-        out_tiles, _ = rasterize_gathered(
-            features_from_projection(proj),
-            binned.gauss_id, binned.starts, binned.ends,
-            binned.cum, binned.count, binned.perm,
-            binned.cum_d, binned.count_d, binned.overflow,
-            None, cfg_band, alpha_clip, early_stop,
-        )
-        # per-band total drop: local binning overflow + transfer drops
-        # destined here from every source (psum'd)
-        my_drop = binned.overflow + jax.lax.psum(
-            pair_drop, axis
-        )[d] if redistribute == "all_to_all" else binned.overflow
-        return out_tiles, my_drop[None]
 
     spec = P(axis if isinstance(axis, str) else tuple(axis))
     fn = shard_map(

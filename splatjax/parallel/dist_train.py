@@ -1,0 +1,149 @@
+"""Composed 2-D-mesh training: view data-parallelism x band-sharded
+rendering (SURVEY.md §5 "shard primitives for project/cull/sort, shard
+tiles/pixels for rasterize", BASELINE.json config 5).
+
+Mesh layout ('view', 'band') — names are the caller's mesh axis names:
+
+  * gaussians are sharded over the BAND axis and replicated over the VIEW
+    axis (in_spec P(band): each view group holds a full copy, split across
+    its band devices);
+  * each view group renders ONE view of the per-step batch: local
+    projection -> fixed-capacity all_to_all (band axis) -> band-local
+    binning + fused rasterize (the exact single-view body of
+    render_sharded, _band_render_body);
+  * the view's bands all_gather their tiles (a few MB over ICI) so every
+    device assembles the full image and computes the same loss — keeping
+    SSIM windows exact across band boundaries;
+  * gradients: jax transposes the all_gather into a psum_scatter and the
+    all_to_all into its reverse, so each device gets d(view loss)/d(its
+    gaussian shard); ONE explicit psum over the VIEW axis averages the
+    views. XLA schedules that psum against the backward sweep — the
+    gradient-reduction/compute overlap called for by the north star.
+
+A (D_view x D_band) step therefore equals a single-chip step on the mean
+loss of D_view views (tested on the 8-device virtual mesh).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from splatjax.camera import Camera
+from splatjax.ops.binning import TileConfig
+from splatjax.ops.rasterize import tiles_to_image
+from splatjax.parallel.dist_render import (
+    _band_render_body,
+    padded_band_height,
+)
+from splatjax.render import default_capacity, resolve_alpha_clip
+from splatjax.scene import TrainableGaussians
+
+Array = jax.Array
+
+
+def make_dp_band_train_step(
+    cameras: Sequence[Camera],
+    cfg,
+    mesh: Mesh,
+    *,
+    view_axis: str = "host",
+    band_axis: str = "chip",
+    tile_size: int = 16,
+    capacity: Optional[int] = None,
+    pair_capacity: Optional[int] = None,
+    redistribute: str = "all_to_all",
+):
+    """Build a jitted 2-D-mesh train step.
+
+    Returns (step, opt); ``step(params, opt_state, mvs, prs, targets)``
+    takes stacked (D_view, 4, 4) camera matrices and (D_view, H, W, 4)
+    targets. Gaussian count must divide by the band-axis size.
+    """
+    from splatjax.train.fit import _optimizer
+    from splatjax.train.loss import combined_loss, psnr
+
+    w, h = cameras[0].width, cameras[0].height
+    d_band = mesh.shape[band_axis]
+    d_view = mesh.shape[view_axis]
+    opt = _optimizer(cfg)
+    alpha_clip = resolve_alpha_clip(cfg.alpha_clip, False)
+
+    band_h = padded_band_height(h, d_band, tile_size)
+    cfg_band = TileConfig(w, band_h, tile_size, tile_size)
+    cfg_full = TileConfig(w, band_h * d_band, tile_size, tile_size)
+
+    def shard_fn(means, scales, quats, colors, opacities, mv, pr, target):
+        n_loc = means.shape[0]
+        pc = pair_capacity or max(-(-3 * n_loc // d_band // 128) * 128, 128)
+        cap = capacity or max(default_capacity(d_band * pc), 2048)
+
+        def local_loss(ms, sc, qu, co, op):
+            out_tiles, _ = _band_render_body(
+                ms, sc, qu, co, op, mv[0], pr[0],
+                axis=band_axis, n_dev=d_band, width=w, height=h,
+                band_h=band_h, cfg_band=cfg_band, pair_capacity=pc,
+                capacity=cap, alpha_clip=alpha_clip,
+                early_stop=cfg.early_stop, redistribute=redistribute,
+            )
+            tiles_full = jax.lax.all_gather(
+                out_tiles, band_axis, axis=0, tiled=True
+            )
+            img = tiles_to_image(tiles_full, cfg_full)
+            img = img[band_h * d_band - h:]
+            return (
+                combined_loss(img, target[0], ssim_weight=cfg.ssim_weight),
+                img,
+            )
+
+        (loss, img), grads = jax.value_and_grad(
+            local_loss, argnums=(0, 1, 2, 3, 4), has_aux=True
+        )(means, scales, quats, colors, opacities)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, view_axis) / d_view, grads
+        )
+        loss = jax.lax.psum(loss, view_axis) / d_view
+        p = jax.lax.psum(psnr(img, target[0]), view_axis) / d_view
+        return (*grads, loss[None], p[None])
+
+    spec_g = P(band_axis)     # gaussian shards: split on band, replicated
+    spec_v = P(view_axis)     # per-view batch items
+    spec_r = P()
+    sharded = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec_g,) * 5 + (spec_v, spec_v, spec_v),
+        out_specs=(spec_g,) * 5 + (spec_r, spec_r),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(params: TrainableGaussians, opt_state, mvs, prs, targets):
+        scene = params.to_scene()
+        g_means, g_scales, g_quats, g_colors, g_opac, loss, p = sharded(
+            scene.means, scene.scales, scene.quats, scene.colors,
+            scene.opacities, mvs, prs, targets,
+        )
+        # chain scene-space gradients back through the parameter
+        # activations (exp / sigmoid / normalize) with one tiny vjp
+        _, act_vjp = jax.vjp(lambda q: q.to_scene(), params)
+        from splatjax.scene import GaussianScene
+
+        (grads,) = act_vjp(
+            GaussianScene(
+                means=g_means, scales=g_scales, quats=g_quats,
+                colors=g_colors, opacities=g_opac,
+                # the sharded body renders DC color only (as render_sharded
+                # does); SH coefficients receive zero gradient here
+                sh=None if scene.sh is None else jnp.zeros_like(scene.sh),
+            )
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss[0], p[0]
+
+    return step, opt

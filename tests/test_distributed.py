@@ -224,3 +224,80 @@ def test_dp_train_step_matches_averaged_single_chip():
         diff = np.abs(np.asarray(leaf) - np.asarray(ref))
         assert (diff < 1e-6).mean() > 0.98, (diff < 1e-6).mean()
         assert diff.max() <= 2.05 * lr, (diff.max(), lr)
+
+
+def test_dp_band_train_step_matches_mean_loss_single_chip():
+    """Composed 2-D step (views x bands) == single-chip step on the mean
+    loss of the same views, within Adam's near-zero-gradient wobble."""
+    import optax
+    from splatjax.camera import make_camera
+    from splatjax.scene import TrainableGaussians
+    from splatjax.train import FitConfig
+    from splatjax.train.fit import _optimizer
+    from splatjax.train.loss import combined_loss
+    from splatjax.render import render
+    from splatjax.parallel import make_dp_band_train_step, make_mesh_2d
+
+    scene, _ = _setup(seed=131)
+    params = TrainableGaussians.from_scene(scene)
+    cams = [
+        make_camera(
+            (0.4 * np.cos(a), 0.1, 2.0 + 0.2 * np.sin(a)), (0, 0, 0),
+            width=64, height=48,
+        )
+        for a in np.linspace(0, 1.0, 2)
+    ]
+    rng = np.random.default_rng(9)
+    targets = [
+        jnp.asarray(rng.random((48, 64, 4)).astype(np.float32))
+        for _ in cams
+    ]
+    cfg = FitConfig(early_stop=0.0)
+    mesh = make_mesh_2d((2, 4), axis_names=("view", "band"))
+    step, opt = make_dp_band_train_step(
+        cams, cfg, mesh, view_axis="view", band_axis="band",
+        capacity=2048,
+    )
+    opt_state = opt.init(params)
+    p_2d, _, loss_2d, _ = step(
+        params, opt_state,
+        jnp.stack([c.modelview for c in cams]),
+        jnp.stack([c.projection for c in cams]),
+        jnp.stack(targets),
+    )
+
+    def mean_loss(p):
+        losses = [
+            combined_loss(
+                render(p.to_scene(), cam, capacity=2048,
+                       alpha_clip=cfg.alpha_clip, early_stop=0.0),
+                t, ssim_weight=cfg.ssim_weight,
+            )
+            for cam, t in zip(cams, targets)
+        ]
+        return sum(losses) / len(losses)
+
+    loss_ref, grads = jax.value_and_grad(mean_loss)(params)
+    opt2 = _optimizer(cfg)
+    upd, _ = opt2.update(grads, opt2.init(params), params)
+    p_ref = optax.apply_updates(params, upd)
+
+    assert abs(float(loss_2d) - float(loss_ref)) < 2e-4
+    # The band pipeline re-orders f32 math (band-local coordinates, tiled
+    # assembly), so gradients differ at ~1e-3 relative and Adam maps that
+    # to O(lr * eps) parameter wobble: require the UPDATE VECTORS to agree
+    # in direction and every element to stay within one Adam step.
+    for leaf, ref, base, lr in (
+        (p_2d.means, p_ref.means, params.means, cfg.lr_means),
+        (p_2d.log_scales, p_ref.log_scales, params.log_scales,
+         cfg.lr_scales),
+        (p_2d.colors, p_ref.colors, params.colors, cfg.lr_colors),
+    ):
+        u_2d = np.asarray(leaf) - np.asarray(base)
+        u_ref = np.asarray(ref) - np.asarray(base)
+        cos = float(
+            (u_2d * u_ref).sum()
+            / (np.linalg.norm(u_2d) * np.linalg.norm(u_ref) + 1e-30)
+        )
+        assert cos > 0.99, cos
+        assert np.abs(u_2d - u_ref).max() <= 2.05 * lr
