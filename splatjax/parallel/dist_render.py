@@ -108,15 +108,16 @@ def _mesh_axis_size(mesh: Mesh, axis: AxisName) -> int:
 
 
 def _band_render_body(
-    means, scales, quats, colors, opacities, mv, pr, *,
+    means, scales, quats, colors, opacities, sh, mv, pr, *,
     axis: AxisName, n_dev: int, width: int, height: int, band_h: int,
     cfg_band: TileConfig, pair_capacity: int, capacity: int,
     alpha_clip, early_stop: float, redistribute: str,
 ):
     """Per-device body of the band-sharded render (runs inside shard_map
-    over ``axis``): local projection -> fixed-capacity all_to_all
-    redistribution -> band-local binning + fused rasterize. Returns
-    (out_tiles (T_band, P, 8), my_drop (1,)). Differentiable — jax
+    over ``axis``): local projection (incl. optional SH view-dependent
+    color — a zero-band (n, 0, 3) ``sh`` is a no-op) -> fixed-capacity
+    all_to_all redistribution -> band-local binning + fused rasterize.
+    Returns (out_tiles (T_band, P, 8), my_drop (1,)). Differentiable — jax
     transposes the all_to_all/all_gather and keeps parameter gradients on
     the owning shard."""
     proj_local = project_gaussians(
@@ -125,6 +126,7 @@ def _band_render_body(
         modelview=mv, projection=pr,
         width=width, height=height,
         max_scales=jnp.max(scales, axis=-1),
+        sh=sh if sh.shape[1] > 0 else None,
     )
     packed = _pack_projected(proj_local)              # (n_loc, 13)
     pair_drop = jnp.zeros((n_dev,), jnp.int32)
@@ -252,9 +254,9 @@ def render_sharded(
     band_h = padded_band_height(camera.height, n_dev, tile_size)
     cfg_band = TileConfig(camera.width, band_h, tile_size, tile_size)
 
-    def shard_fn(means, scales, quats, colors, opacities, mv, pr):
+    def shard_fn(means, scales, quats, colors, opacities, sh, mv, pr):
         return _band_render_body(
-            means, scales, quats, colors, opacities, mv, pr,
+            means, scales, quats, colors, opacities, sh, mv, pr,
             axis=axis, n_dev=n_dev, width=camera.width,
             height=camera.height, band_h=band_h, cfg_band=cfg_band,
             pair_capacity=pair_capacity, capacity=capacity,
@@ -266,9 +268,14 @@ def render_sharded(
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(spec, spec, spec, spec, spec, P(), P()),
+        in_specs=(spec, spec, spec, spec, spec, spec, P(), P()),
         out_specs=(spec, spec),
         check_vma=False,
+    )
+    sh = (
+        jnp.asarray(scene.sh, jnp.float32)
+        if scene.sh is not None
+        else jnp.zeros((n, 0, 3), jnp.float32)
     )
     out_tiles, overflow = fn(
         jnp.asarray(scene.means, jnp.float32),
@@ -276,6 +283,7 @@ def render_sharded(
         jnp.asarray(scene.quats, jnp.float32),
         jnp.asarray(scene.colors, jnp.float32),
         jnp.asarray(scene.opacities, jnp.float32),
+        sh,
         camera.modelview,
         camera.projection,
     )

@@ -77,14 +77,15 @@ def make_dp_band_train_step(
     cfg_band = TileConfig(w, band_h, tile_size, tile_size)
     cfg_full = TileConfig(w, band_h * d_band, tile_size, tile_size)
 
-    def shard_fn(means, scales, quats, colors, opacities, mv, pr, target):
+    def shard_fn(means, scales, quats, colors, opacities, sh, mv, pr,
+                 target):
         n_loc = means.shape[0]
         pc = pair_capacity or max(-(-3 * n_loc // d_band // 128) * 128, 128)
         cap = capacity or max(default_capacity(d_band * pc), 2048)
 
-        def local_loss(ms, sc, qu, co, op):
+        def local_loss(ms, sc, qu, co, op, s):
             out_tiles, _ = _band_render_body(
-                ms, sc, qu, co, op, mv[0], pr[0],
+                ms, sc, qu, co, op, s, mv[0], pr[0],
                 axis=band_axis, n_dev=d_band, width=w, height=h,
                 band_h=band_h, cfg_band=cfg_band, pair_capacity=pc,
                 capacity=cap, alpha_clip=alpha_clip,
@@ -101,8 +102,8 @@ def make_dp_band_train_step(
             )
 
         (loss, img), grads = jax.value_and_grad(
-            local_loss, argnums=(0, 1, 2, 3, 4), has_aux=True
-        )(means, scales, quats, colors, opacities)
+            local_loss, argnums=(0, 1, 2, 3, 4, 5), has_aux=True
+        )(means, scales, quats, colors, opacities, sh)
         grads = jax.tree_util.tree_map(
             lambda g: jax.lax.psum(g, view_axis) / d_view, grads
         )
@@ -116,17 +117,23 @@ def make_dp_band_train_step(
     sharded = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(spec_g,) * 5 + (spec_v, spec_v, spec_v),
-        out_specs=(spec_g,) * 5 + (spec_r, spec_r),
+        in_specs=(spec_g,) * 6 + (spec_v, spec_v, spec_v),
+        out_specs=(spec_g,) * 6 + (spec_r, spec_r),
         check_vma=False,
     )
 
     @jax.jit
     def step(params: TrainableGaussians, opt_state, mvs, prs, targets):
         scene = params.to_scene()
-        g_means, g_scales, g_quats, g_colors, g_opac, loss, p = sharded(
+        n = scene.means.shape[0]
+        sh = (
+            scene.sh if scene.sh is not None
+            else jnp.zeros((n, 0, 3), jnp.float32)
+        )
+        (g_means, g_scales, g_quats, g_colors, g_opac, g_sh, loss,
+         p) = sharded(
             scene.means, scene.scales, scene.quats, scene.colors,
-            scene.opacities, mvs, prs, targets,
+            scene.opacities, sh, mvs, prs, targets,
         )
         # chain scene-space gradients back through the parameter
         # activations (exp / sigmoid / normalize) with one tiny vjp
@@ -137,9 +144,7 @@ def make_dp_band_train_step(
             GaussianScene(
                 means=g_means, scales=g_scales, quats=g_quats,
                 colors=g_colors, opacities=g_opac,
-                # the sharded body renders DC color only (as render_sharded
-                # does); SH coefficients receive zero gradient here
-                sh=None if scene.sh is None else jnp.zeros_like(scene.sh),
+                sh=None if scene.sh is None else g_sh,
             )
         )
         updates, opt_state = opt.update(grads, opt_state, params)

@@ -301,3 +301,22 @@ def test_dp_band_train_step_matches_mean_loss_single_chip():
         )
         assert cos > 0.99, cos
         assert np.abs(u_2d - u_ref).max() <= 2.05 * lr
+
+
+def test_sharded_render_with_sh_matches_single_chip():
+    """SH view-dependent color is evaluated at projection time per device;
+    the sharded image must match the single-chip SH render."""
+    import dataclasses
+
+    scene, cam = _setup(seed=141)
+    rng = np.random.default_rng(4)
+    sh = jnp.asarray(
+        rng.normal(scale=0.2, size=(scene.num_gaussians, 3, 3)).astype(
+            np.float32
+        )
+    )  # degree-1 bands
+    scene = dataclasses.replace(scene, sh=sh)
+    mesh = make_mesh(8)
+    img_s = np.asarray(render_sharded(scene, cam, mesh, early_stop=0.0))
+    img_1 = np.asarray(render(scene, cam, early_stop=0.0))
+    assert np.abs(img_s - img_1).max() < 1e-4
