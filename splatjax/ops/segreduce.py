@@ -69,7 +69,10 @@ def _segreduce_kernel(
             rows_vmem.at[slot], sems.at[slot],
         )
 
-    @pl.when(n_chunks > 0)
+    # chunk 0 was issued by the previous program's epilogue (cross-program
+    # prefetch hides the per-program first-chunk stall across the ~N/128
+    # sequential programs); only the very first program self-issues.
+    @pl.when((b == 0) & (n_chunks > 0))
     def _():
         dma(0, 0).start()
 
@@ -95,6 +98,20 @@ def _segreduce_kernel(
         0, n_chunks, body, jnp.zeros((n_feat, LANES), jnp.float32)
     )
     out_ref[:, :] = acc
+
+    # prefetch the NEXT block's chunk 0 into slot 0 (safe: every wait above
+    # is done, and a block with zero chunks gets nothing issued for it —
+    # the issue condition below mirrors the self-issue guard exactly)
+    nb = b + 1
+    in_grid = nb < pl.num_programs(0)
+    nb_c = jnp.minimum(nb, pl.num_programs(0) - 1)
+
+    @pl.when(in_grid & (blk_chunks_ref[nb_c] > 0))
+    def _():
+        pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(blk_start_ref[nb_c] * SUB, SUB)],
+            rows_vmem.at[0], sems.at[0],
+        ).start()
 
 
 @jax.jit
