@@ -38,6 +38,28 @@ for name in ("means", "log_scales", "quats", "colors", "logit_opacities"):
     assert np.isfinite(arr).all(), name
 print("grads finite OK", flush=True)
 
+# gradient parity ON HARDWARE: Pallas custom-VJP vs XLA autodiff of the
+# pure-JAX reference rasterizer (both on the TPU, small scene)
+small = synthetic_scene(400, seed=9, extent=0.6, scale_range=(0.02, 0.07))
+scam = make_camera((0, 0, 2.3), (0, 0, 0), width=96, height=64)
+sp = TrainableGaussians.from_scene(small)
+tgt = jax.random.normal(jax.random.PRNGKey(2), (64, 96, 4))
+
+g_pallas = jax.grad(
+    lambda p: jnp.sum(render(p.to_scene(), scam, early_stop=0.0) * tgt)
+)(sp)
+g_ref = jax.grad(
+    lambda p: jnp.sum(render_reference(p.to_scene(), scam) * tgt)
+)(sp)
+for name in ("means", "log_scales", "quats", "colors", "logit_opacities"):
+    a = np.asarray(getattr(g_pallas, name)).ravel()
+    r = np.asarray(getattr(g_ref, name)).ravel()
+    scale = np.abs(r).max() + 1e-12
+    err = np.abs(a - r).max() / scale
+    print(f"grad parity {name}: rel {err:.2e}", flush=True)
+    assert err < 5e-3, (name, err)
+print("grad parity vs XLA autodiff OK", flush=True)
+
 # sparse-cluster scene: drives the ring block-jump path on hardware
 rng = np.random.default_rng(7)
 centers = np.array([[-0.9, -0.7, 0], [0.9, 0.8, 0], [0.0, 0.0, 0.4]])
