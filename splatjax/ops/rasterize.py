@@ -7,7 +7,7 @@ depth-sorted instance list front-to-back in chunks of ``CHUNK`` gaussians on
 the *lane* axis:
 
   alpha      = exp(power) * opacity          (power >= -4, index.js:170-175)
-  T_within   = exclusive cumprod(1 - alpha)  along the chunk (lane scan)
+  T_within   = exclusive cumprod(1 - alpha)  along the chunk (MXU tri-matmul)
   rgb       += sum_k alpha_k * T_k * color_k
   depth_out += sum_k alpha_k * T_k * depth_k     (expected splat depth)
   T         *= prod_k (1 - alpha_k)
@@ -199,55 +199,6 @@ def _pixel_grids(cfg: TileConfig, tile_idx):
 
 def _lane_iota(cols: int):
     return jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
-
-
-def _cumprod_lanes(x):
-    """Inclusive cumprod along the lane axis — Hillis-Steele scan
-    (Mosaic has no cumprod primitive)."""
-    cols = x.shape[1]
-    lane = _lane_iota(cols)
-    k = 1
-    while k < cols:
-        shifted = pltpu.roll(x, k, axis=1)
-        x = x * jnp.where(lane >= k, shifted, 1.0)
-        k *= 2
-    return x
-
-
-def _cumsum_lanes(x):
-    """Inclusive cumsum along the lane axis."""
-    cols = x.shape[1]
-    lane = _lane_iota(cols)
-    k = 1
-    while k < cols:
-        shifted = pltpu.roll(x, k, axis=1)
-        x = x + jnp.where(lane >= k, shifted, 0.0)
-        k *= 2
-    return x
-
-
-def _suffix_cumprod_lanes(x):
-    """Inclusive suffix cumprod along lanes: out[i] = prod_{j>=i} x[j]."""
-    cols = x.shape[1]
-    lane = _lane_iota(cols)
-    k = 1
-    while k < cols:
-        shifted = pltpu.roll(x, cols - k, axis=1)  # == roll by -k (circular)
-        x = x * jnp.where(lane < cols - k, shifted, 1.0)
-        k *= 2
-    return x
-
-
-def _suffix_cumsum_lanes(x):
-    """Inclusive suffix cumsum along lanes: out[i] = sum_{j>=i} x[j]."""
-    cols = x.shape[1]
-    lane = _lane_iota(cols)
-    k = 1
-    while k < cols:
-        shifted = pltpu.roll(x, cols - k, axis=1)  # == roll by -k (circular)
-        x = x + jnp.where(lane < cols - k, shifted, 0.0)
-        k *= 2
-    return x
 
 
 # ---- MXU scan reformulation -------------------------------------------
