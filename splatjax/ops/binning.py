@@ -36,10 +36,20 @@ import jax
 import jax.numpy as jnp
 
 
-def _grad_gather_bf16() -> bool:
-    """Opt-in bf16 packing of the backward's gradient-row gather
-    (SPLATJAX_GRAD_GATHER=bf16). Read at trace time."""
-    return os.environ.get("SPLATJAX_GRAD_GATHER", "f32") == "bf16"
+def _grad_gather_mode() -> str:
+    """Packing mode of the backward's gradient-row gather, read at trace
+    time from SPLATJAX_GRAD_GATHER:
+
+      "i16"  (default) per-channel-scaled int16 pairs in int32 lanes —
+             halves the dominant backward gather's bytes (64 B -> 32 B
+             rows, ~36 -> ~20 ms at 3M rows on v5e) at a per-term error
+             of channel_max * 2^-16 (~10x tighter than bf16's 2^-9
+             relative rounding, and far below optimizer noise);
+      "bf16" two bf16 per int32 lane (no pre-pass, per-term 2^-9 rel);
+      "f32"  unpacked 64 B rows — bit-exact transpose of the gather,
+             for strict-parity runs and the algorithm-exactness tests.
+    """
+    return os.environ.get("SPLATJAX_GRAD_GATHER", "i16")
 
 from splatjax.ops.projection import ProjectedGaussians
 
@@ -195,23 +205,41 @@ def segment_sum_by_gid(
     _, order = jax.lax.sort(
         (gid, jnp.arange(k, dtype=jnp.int32)), is_stable=True, num_keys=1
     )
-    if _grad_gather_bf16() and c % 2 == 0:
+    mode = _grad_gather_mode()
+    if mode in ("i16", "bf16") and c % 2 == 0:
         # Halve the dominant backward cost — the K-row random-permutation
-        # gather of gradient rows (~39 ms at 3M x 64 B on v5e; 32 B rows
-        # gather ~40% faster) — by packing two bf16 per int32 lane around
-        # the gather only. Gradients re-enter f32 before the segment sum;
-        # the bf16 rounding (~2^-9 relative per element) is far below
-        # optimizer noise. Opt-in: SPLATJAX_GRAD_GATHER=bf16.
-        u = jax.lax.bitcast_convert_type(
-            gt.astype(jnp.bfloat16), jnp.uint16
-        ).astype(jnp.uint32)                             # (K, C)
+        # gather of gradient rows (~36 ms at 3M x 64 B on v5e; 32 B rows
+        # gather ~45% faster) — by packing two 16-bit values per int32
+        # lane around the gather only. Gradients re-enter f32 before the
+        # segment sum. See _grad_gather_mode for the error model.
+        if mode == "i16":
+            # per-channel max-abs scale: fixed-point error is bounded by
+            # channel_max / 65534 per term, independent of element size
+            cmax = jnp.max(jnp.abs(gt), axis=0)          # (C,)
+            scale = jnp.where(cmax > 0, cmax, 1.0) * (1.0 / 32767.0)
+            q = jnp.clip(
+                jnp.round(gt / scale), -32767.0, 32767.0
+            ).astype(jnp.int16)
+            u = jax.lax.bitcast_convert_type(q, jnp.uint16).astype(
+                jnp.uint32
+            )                                            # (K, C)
+        else:
+            u = jax.lax.bitcast_convert_type(
+                gt.astype(jnp.bfloat16), jnp.uint16
+            ).astype(jnp.uint32)                         # (K, C)
         packed = ((u[:, 1::2] << 16) | u[:, 0::2]).astype(jnp.int32)
         gp = packed[order].astype(jnp.uint32)            # (K, C/2) gather
         lo = (gp & 0xFFFF).astype(jnp.uint16)
         hi = (gp >> 16).astype(jnp.uint16)
-        gs = jax.lax.bitcast_convert_type(
-            jnp.stack([lo, hi], axis=-1).reshape(k, c), jnp.bfloat16
-        ).astype(jnp.float32)                            # (K, C) by gaussian
+        halves = jnp.stack([lo, hi], axis=-1).reshape(k, c)
+        if mode == "i16":
+            gs = jax.lax.bitcast_convert_type(
+                halves, jnp.int16
+            ).astype(jnp.float32) * scale                # (K, C) by gaussian
+        else:
+            gs = jax.lax.bitcast_convert_type(
+                halves, jnp.bfloat16
+            ).astype(jnp.float32)                        # (K, C) by gaussian
     else:
         gs = gt[order]                                   # (K, C) by gaussian
     # per-gaussian runs are [eff_cum[g-1], eff_cum[g]) in this order; the

@@ -147,6 +147,7 @@ def _bwd_kernel(
         gold_dma(0).start()
 
     tri_suf = _tri_mask(CHUNK, suffix=True)
+    tri_suf_strict = _tri_mask(CHUNK, suffix=True, strict=True)
 
     def body(i, carry):
         t_after, s_u = carry
@@ -188,9 +189,10 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )                                        # (P, CHUNK)
         u = alpha * t_k * gdotc                  # (P, CHUNK)
-        inc_u = _tri_cumsum(u, tri_suf)          # suffix cumsum on the MXU
-        sx_u = inc_u - u + s_u                   # exclusive suffix + carry
-        tot_u = inc_u[:, 0:1]
+        # EXCLUSIVE suffix cumsum straight from the strict mask
+        sx_loc = _tri_cumsum(u, tri_suf_strict)  # (P, CHUNK) on the MXU
+        sx_u = sx_loc + s_u
+        tot_u = sx_loc[:, 0:1] + u[:, 0:1]       # chunk-inclusive total
 
         om_safe = jnp.where(om > 1e-6, om, 1e-6)
         # one division: (S_i + g_T T_final) / (1 - a_i); g_tf*t_final is

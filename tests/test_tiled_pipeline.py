@@ -2,6 +2,8 @@
 parity vs jax-autodiff of the pure-JAX reference renderer (BASELINE.json
 configs 1-2), binning invariants, overflow/empty-scene edges.
 """
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -208,14 +210,62 @@ def _gather_vjp_case(n, cap, seed, force_truncation):
     np.testing.assert_allclose(np.asarray(got), expect, rtol=2e-5, atol=2e-5)
 
 
-def test_gather_features_vjp_matches_scatter_oracle():
+def test_gather_features_vjp_matches_scatter_oracle(monkeypatch):
     # The segment-sum backward (sort + blocked cumsum + run-boundary
     # residuals, ops/binning.py) must equal the dense scatter-add transpose
     # of the row gather — including under capacity truncation, where the
     # depth-farthest instances are dropped (cutting runs mid-gaussian), and
-    # with zero-count gaussians interleaved.
+    # with zero-count gaussians interleaved. Pinned to the f32 gather mode:
+    # this test checks the run/truncation ALGEBRA exactly; the default i16
+    # packing's rounding is bounded separately below.
+    monkeypatch.setenv("SPLATJAX_GRAD_GATHER", "f32")
     _gather_vjp_case(n=37, cap=64, seed=3, force_truncation=True)
     _gather_vjp_case(n=23, cap=256, seed=4, force_truncation=False)
+
+
+def test_gather_features_vjp_i16_default_rounding_bound():
+    """The default int16-packed gradient gather (SPLATJAX_GRAD_GATHER=i16)
+    must match the scatter-add oracle within its fixed-point error model:
+    per gathered term, |err| <= channel_max / 65534 (round-to-nearest of
+    g / (channel_max/32767)), summed over each gaussian's run."""
+    from splatjax.ops.binning import gather_features
+
+    assert os.environ.get("SPLATJAX_GRAD_GATHER", "i16") == "i16"
+    rng = np.random.default_rng(11)
+    n, cap = 40, 512
+    count = rng.integers(0, 6, size=n).astype(np.int32)
+    depth = -rng.uniform(1.0, 9.0, size=n).astype(np.float32)
+    cum = np.cumsum(count).astype(np.int32)
+    key = np.where(count > 0, -depth, np.inf)
+    perm = np.argsort(key, kind="stable").astype(np.int32)
+    count_d = count[perm].astype(np.float32)
+    cum_d = np.cumsum(count_d).astype(np.float32)
+    gid_depth = np.repeat(perm, count[perm])[:cap]
+    valid = len(gid_depth)
+    gid = np.full((cap,), n - 1, np.int32)
+    gid[:valid] = gid_depth[rng.permutation(valid)]
+    # heavy-tailed per-channel scales exercise the per-channel quantization
+    feat = rng.normal(size=(n, 16)).astype(np.float32)
+    cot = (rng.normal(size=(16, cap)) *
+           (10.0 ** rng.integers(-2, 3, size=(16, 1)))).astype(np.float32)
+    cot[:, valid:] = 0.0
+
+    def f(feat):
+        return gather_features(
+            jnp.asarray(feat), jnp.asarray(gid),
+            jnp.asarray(cum), jnp.asarray(count),
+            jnp.asarray(perm), jnp.asarray(cum_d), jnp.asarray(count_d),
+            jnp.zeros((), jnp.int32),
+        )
+
+    _, vjp = jax.vjp(f, feat)
+    (got,) = vjp(jnp.asarray(cot))
+    expect = np.zeros_like(feat)
+    np.add.at(expect, gid[:valid], cot.T[:valid])
+    cmax = np.abs(cot).max(axis=1)                      # (16,) channel max
+    runs = np.bincount(gid[:valid], minlength=n)[:, None]
+    bound = (runs + 1) * (cmax[None, :] / 65534.0) + 1e-7
+    assert (np.abs(np.asarray(got) - expect) <= bound).all()
 
 
 def test_sparse_tiles_block_jumps():
