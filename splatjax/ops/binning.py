@@ -206,40 +206,48 @@ def segment_sum_by_gid(
         (gid, jnp.arange(k, dtype=jnp.int32)), is_stable=True, num_keys=1
     )
     mode = _grad_gather_mode()
-    if mode in ("i16", "bf16") and c % 2 == 0:
+    if mode == "i16" and c == 16:
         # Halve the dominant backward cost — the K-row random-permutation
         # gather of gradient rows (~36 ms at 3M x 64 B on v5e; 32 B rows
-        # gather ~45% faster) — by packing two 16-bit values per int32
-        # lane around the gather only. Gradients re-enter f32 before the
-        # segment sum. See _grad_gather_mode for the error model.
-        if mode == "i16":
-            # per-channel max-abs scale: fixed-point error is bounded by
-            # channel_max / 65534 per term, independent of element size
-            cmax = jnp.max(jnp.abs(gt), axis=0)          # (C,)
-            scale = jnp.where(cmax > 0, cmax, 1.0) * (1.0 / 32767.0)
-            q = jnp.clip(
-                jnp.round(gt / scale), -32767.0, 32767.0
-            ).astype(jnp.int16)
-            u = jax.lax.bitcast_convert_type(q, jnp.uint16).astype(
-                jnp.uint32
-            )                                            # (K, C)
-        else:
-            u = jax.lax.bitcast_convert_type(
-                gt.astype(jnp.bfloat16), jnp.uint16
-            ).astype(jnp.uint32)                         # (K, C)
+        # gather ~45% faster) — by quantizing to per-channel-scaled int16
+        # and packing channel pairs (c, c+8) as biased u16 halves in int32
+        # lanes. The packed gather output feeds the windowed segment-sum
+        # kernel DIRECTLY (ops/segreduce.segment_reduce_packed_u16): no
+        # XLA-side unpack / dequantize / re-pad, and the kernel's limb
+        # arithmetic makes each run's sum f32-exact over the quantized
+        # values — total error is the quantization alone, bounded by
+        # channel_max / 65534 per gathered term.
+        from splatjax.ops.segreduce import (
+            LANES2, W, segment_reduce_packed_u16,
+        )
+
+        cmax = jnp.max(jnp.abs(gt), axis=0)              # (C,)
+        scale = jnp.where(cmax > 0, cmax, 1.0) * (1.0 / 32767.0)
+        q = jnp.clip(jnp.round(gt / scale), -32767.0, 32767.0)
+        u = (q + 32768.0).astype(jnp.uint32)             # biased u16 range
+        packed = ((u[:, 8:] << 16) | u[:, :8]).astype(jnp.int32)
+        gp = packed[order]                               # (K, 8) gather
+        k_pad2 = -(-k // W) * W
+        rows_pm = jnp.pad(gp, ((0, k_pad2 - k), (0, 0))).T  # (8, K_pad)
+        n_pad2 = (-n) % LANES2
+        cum_p2 = jnp.pad(
+            eff_cum.astype(jnp.int32), (0, n_pad2), mode="edge"
+        )
+        sums = segment_reduce_packed_u16(rows_pm, cum_p2)   # (16, N_pad)
+        return (sums[:, :n] * scale[:, None]).T
+    if mode in ("i16", "bf16") and c % 2 == 0:
+        # bf16 fallback (and i16 with non-16 channel counts): two bf16 per
+        # int32 lane around the gather; per-term error 2^-9 relative.
+        u = jax.lax.bitcast_convert_type(
+            gt.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)                             # (K, C)
         packed = ((u[:, 1::2] << 16) | u[:, 0::2]).astype(jnp.int32)
         gp = packed[order].astype(jnp.uint32)            # (K, C/2) gather
         lo = (gp & 0xFFFF).astype(jnp.uint16)
         hi = (gp >> 16).astype(jnp.uint16)
-        halves = jnp.stack([lo, hi], axis=-1).reshape(k, c)
-        if mode == "i16":
-            gs = jax.lax.bitcast_convert_type(
-                halves, jnp.int16
-            ).astype(jnp.float32) * scale                # (K, C) by gaussian
-        else:
-            gs = jax.lax.bitcast_convert_type(
-                halves, jnp.bfloat16
-            ).astype(jnp.float32)                        # (K, C) by gaussian
+        gs = jax.lax.bitcast_convert_type(
+            jnp.stack([lo, hi], axis=-1).reshape(k, c), jnp.bfloat16
+        ).astype(jnp.float32)                            # (K, C) by gaussian
     else:
         gs = gt[order]                                   # (K, C) by gaussian
     # per-gaussian runs are [eff_cum[g-1], eff_cum[g]) in this order; the
@@ -418,10 +426,13 @@ def bin_gaussians(
     )
     tbl_t = tbl_pad.T                      # (TBL_ROWS, Vpad): lanes = gaussians
 
-    # g at every 128-instance boundary (g(j) = #{r : cum_d[r] <= j}),
-    # clamped into the gap-free visible prefix
+    # g at every window-DMA boundary (g(j) = #{r : cum_d[r] <= j}), clamped
+    # into the gap-free visible prefix. The expansion kernel only reads g
+    # at GROUP-subchunk granularity (SUB * GROUP instances per window DMA),
+    # so query at that stride — half the searchsorted scan cost.
+    stride = expand_mod.SUB * expand_mod.GROUP
     j_bounds = jnp.arange(
-        0, cap_pad, expand_mod.SUB, dtype=jnp.int32
+        0, cap_pad, stride, dtype=jnp.int32
     ).astype(jnp.float32)
     sub_g0 = jnp.searchsorted(cum_d, j_bounds, side="right").astype(jnp.int32)
     sub_g0 = jnp.minimum(sub_g0, n_vis)

@@ -100,7 +100,8 @@ def _expand_kernel(
     n_groups = SUBS_PER_CHUNK // GROUP
 
     def win_off(prog, grp):
-        g0 = sub_g0_ref[prog * SUBS_PER_CHUNK + grp * GROUP]
+        # sub_g0 is sampled at GROUP-subchunk (window-DMA) stride
+        g0 = sub_g0_ref[prog * (SUBS_PER_CHUNK // GROUP) + grp]
         off = jnp.minimum((g0 // 128) * 128, vpad - WINDOW)
         return pl.multiple_of(off, 128)  # both operands are 128-multiples
 
@@ -214,8 +215,9 @@ def expand_instances(
       >= n + PAD_G, pad lanes carrying CUM_INCL/CUM_EXCL > capacity and
       SPANW >= 1. Requires tiles_x <= 255 and tiles_y <= 255 (limb-exact
       bf16 bound; 16 px tiles cover images up to 4080 px per side).
-    sub_g0: (capacity/SUB,) int32 — g(j) at each 128-instance boundary,
-      clamped into the gap-free visible prefix.
+    sub_g0: (capacity/(SUB*GROUP),) int32 — g(j) at each window-DMA
+      boundary (SUB*GROUP instances), clamped into the gap-free visible
+      prefix.
     total_clamped: () int32 — min(total instances, capacity).
     Returns (tile, gid) int32 arrays of shape (capacity,): tile==num_tiles
     and gid==n_real-1 mark the invalid tail (they sort after all real

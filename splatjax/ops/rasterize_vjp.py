@@ -108,6 +108,7 @@ def _bwd_kernel(
     pyl = py - oy
     basis6 = _power_basis(pxl, pyl)      # (P, 6) — shared with _chunk_alpha
     cot4 = jnp.concatenate([g_r, g_g, g_b, g_d], axis=1)   # (P, 4)
+    gtt = g_tf * t_final                 # (P, 1) hoisted out of the loop
 
     # Walk chunks in reverse: iteration i handles chunk c = c_done-1-i.
     # Everything is double-buffered on slot = i % 2: feature reads, the
@@ -150,7 +151,7 @@ def _bwd_kernel(
     tri_suf_strict = _tri_mask(CHUNK, suffix=True, strict=True)
 
     def body(i, carry):
-        t_after, s_u = carry
+        lt_after, s_u = carry
         base = base_of(i)
 
         @pl.when(i + 1 < c_done)
@@ -165,11 +166,15 @@ def _bwd_kernel(
             chunk, basis6, ox, oy, kidx, start, end, alpha_clip, zb
         )
         om = 1.0 - alpha
-        # suffix inclusive cumprod Q_k = prod_{j>=k} om_j — on the MXU
-        # (rasterize._tri_cumsum): exp(suffix_cumsum(log1p(-alpha)))
-        q = jnp.exp(_tri_cumsum(_log_om(alpha), tri_suf))
-        q_ok = q > 0.0
-        t_k = jnp.where(q_ok, t_after / jnp.where(q_ok, q, 1.0), 0.0)
+        # Per-instance transmittance recovered fully in LOG space:
+        #   log T_k = log T_after - suffix_cumsum(log(1-alpha))_k
+        # (one subtract + one exp, vs exp + divide + zero-guard selects;
+        # also no 0/0 hazard when a fragment saturates to alpha == 1 —
+        # exp(-inf - s) is exactly 0). Absolute log error is ~eps * |s_q|,
+        # i.e. only deeply-opaque stacks (T below any gradient threshold)
+        # see more than ~1e-6 relative t_k error.
+        s_q = _tri_cumsum(_log_om(alpha), tri_suf)
+        t_k = jnp.exp(lt_after - s_q)
 
         col_r, col_g, col_b = rows[5], rows[6], rows[7]
         depth_row = rows[9]
@@ -188,16 +193,17 @@ def _bwd_kernel(
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )                                        # (P, CHUNK)
-        u = alpha * t_k * gdotc                  # (P, CHUNK)
+        tg = t_k * gdotc                         # (P, CHUNK)
+        u = alpha * tg
         # EXCLUSIVE suffix cumsum straight from the strict mask
         sx_loc = _tri_cumsum(u, tri_suf_strict)  # (P, CHUNK) on the MXU
         sx_u = sx_loc + s_u
         tot_u = sx_loc[:, 0:1] + u[:, 0:1]       # chunk-inclusive total
 
         om_safe = jnp.where(om > 1e-6, om, 1e-6)
-        # one division: (S_i + g_T T_final) / (1 - a_i); g_tf*t_final is
-        # per-pixel, hoisted out of the lane dim by broadcasting
-        g_alpha = t_k * gdotc - (sx_u + g_tf * t_final) / om_safe
+        # one division: (S_i + g_T T_final) / (1 - a_i); gtt = g_tf*t_final
+        # is per-pixel, hoisted out of the chunk loop
+        g_alpha = tg - (sx_u + gtt) / om_safe
         if alpha_clip is not None:
             # min(raw*opa, clip) clipped  <=>  alpha >= clip
             g_alpha = jnp.where(alpha < alpha_clip, g_alpha, 0.0)
@@ -261,11 +267,13 @@ def _bwd_kernel(
         g_new_vmem[i % 2] = jnp.where(in_range, grow, g_old_vmem[i % 2])
         gout_dma(i).start()
 
-        # carry to the previous chunk: T at this chunk's first instance,
-        # combined suffix sum extended by this whole chunk
-        return (t_k[:, 0:1], s_u + tot_u)
+        # carry to the previous chunk: log T at this chunk's first
+        # instance, combined suffix sum extended by this whole chunk
+        return (lt_after - s_q[:, 0:1], s_u + tot_u)
 
-    init = (t_final, jnp.zeros_like(t_final))
+    # log T_final: -inf where the tile saturated to exactly 0 (exp then
+    # returns exact 0 transmittances — no 0/0)
+    init = (jnp.log(t_final), jnp.zeros_like(t_final))
     jax.lax.fori_loop(0, c_done, body, init)
 
     # next tile's first reverse chunk window (i=0 -> slots feat[0]/gold[0])
