@@ -311,12 +311,15 @@ def _chunk_alpha(chunk, basis6, ox, oy, kidx, start, end, alpha_clip,
         preferred_element_type=jnp.float32,
     )                                      # (P, CHUNK)
     in_range = (kidx >= start) & (kidx < end)
-    valid = in_range & (power >= -4.0)     # exp(-4) cutoff, index.js:172
+    # range masking rides the (1, CHUNK) opacity row, keeping the per-
+    # fragment mask to the exp(-4) cutoff compare alone
+    opa_m = jnp.where(in_range, opa, 0.0)  # (1, CHUNK)
+    valid = power >= -4.0                  # exp(-4) cutoff, index.js:172
     if zb is not None:
         # camera z is negative in front; nearer = larger. A fragment at
         # depth <= z-buffer is occluded by opaque geometry.
         valid = valid & (rows[9] > zb)     # (P, CHUNK) broadcast
-    alpha = jnp.where(valid, jnp.exp(power), 0.0) * opa
+    alpha = jnp.where(valid, jnp.exp(power), 0.0) * opa_m
     if alpha_clip is not None:
         alpha = jnp.minimum(alpha, alpha_clip)
     return alpha, rows, in_range

@@ -207,7 +207,9 @@ def _bwd_kernel(
         if alpha_clip is not None:
             # min(raw*opa, clip) clipped  <=>  alpha >= clip
             g_alpha = jnp.where(alpha < alpha_clip, g_alpha, 0.0)
-        g_alpha = jnp.where(in_range, g_alpha, 0.0)
+        # out-of-range lanes already have alpha == 0 (opacity-row masking
+        # in _chunk_alpha), so g_power/w vanish there without a select;
+        # only the row WRITE below needs the explicit in_range mask
         g_power = g_alpha * alpha                 # d(exp(p)*o)/dp = alpha
         w = alpha * t_k
 

@@ -1,0 +1,86 @@
+"""Direct unit tests of the Pallas segment-reduce kernels (ops/segreduce.py)
+against a NumPy scatter-add oracle — multi-block / multi-window shapes the
+pipeline-level tests don't reach (CPU interpret mode)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from splatjax.ops.segreduce import (
+    LANES2,
+    W,
+    segment_reduce_packed_u16,
+    segment_reduce_rows,
+)
+
+
+def _random_runs(rng, n, k_target):
+    """Run lengths incl. zero runs and one long run spanning windows."""
+    count = rng.integers(0, 7, size=n).astype(np.int64)
+    count[rng.integers(0, n)] = 3 * W // 2   # one run longer than a window
+    scale_to = max(k_target - int(count.sum()), 0)
+    if scale_to:
+        idx = rng.integers(0, n, size=scale_to)
+        np.add.at(count, idx, 1)
+    return count
+
+
+def test_packed_u16_kernel_matches_oracle():
+    rng = np.random.default_rng(3)
+    n = 2 * LANES2 + 64          # forces padding to a LANES2 multiple
+    count = _random_runs(rng, n, 6 * W)
+    cum = np.cumsum(count)
+    k = int(cum[-1])
+
+    q = rng.integers(-32767, 32768, size=(k, 16)).astype(np.int32)
+    u = (q + 32768).astype(np.uint32)
+    packed = ((u[:, 8:] << 16) | u[:, :8]).astype(np.int32)   # (K, 8)
+
+    k_pad = -(-k // W) * W
+    rows_pm = np.zeros((8, k_pad), np.int32)
+    rows_pm[:, :k] = packed.T
+    n_pad = -(-n // LANES2) * LANES2
+    cum_p = np.pad(cum.astype(np.int32), (0, n_pad - n), mode="edge")
+
+    out = np.asarray(
+        segment_reduce_packed_u16(jnp.asarray(rows_pm), jnp.asarray(cum_p))
+    )                                                          # (16, n_pad)
+
+    oracle = np.zeros((n, 16), np.int64)
+    gid = np.repeat(np.arange(n), count)
+    np.add.at(oracle, gid, q.astype(np.int64))
+    np.testing.assert_array_equal(out[:, :n].T, oracle.astype(np.float64))
+    # padded tail gaussians are empty runs -> exact zero
+    assert np.all(out[:, n:] == 0.0)
+
+
+def test_packed_u16_kernel_all_empty_blocks():
+    # blocks whose gaussians all have zero instances must write zeros
+    n = LANES2
+    cum = np.zeros((n,), np.int32)
+    rows_pm = np.zeros((8, W), np.int32)
+    out = np.asarray(
+        segment_reduce_packed_u16(jnp.asarray(rows_pm), jnp.asarray(cum))
+    )
+    assert out.shape == (16, n)
+    assert np.all(out == 0.0)
+
+
+def test_feature_major_kernel_matches_oracle():
+    rng = np.random.default_rng(5)
+    n, c = 256, 16
+    count = _random_runs(rng, n, 2000)
+    cum = np.cumsum(count)
+    k = int(cum[-1])
+    rows = rng.normal(size=(c, k)).astype(np.float32)
+    k_pad = -(-k // 128) * 128
+    rows_p = np.zeros((c, k_pad), np.float32)
+    rows_p[:, :k] = rows
+    out = np.asarray(
+        segment_reduce_rows(
+            jnp.asarray(rows_p), jnp.asarray(cum.astype(np.int32))
+        )
+    )
+    oracle = np.zeros((n, c), np.float64)
+    gid = np.repeat(np.arange(n), count)
+    np.add.at(oracle, gid, rows.T.astype(np.float64))
+    np.testing.assert_allclose(out.T, oracle, rtol=1e-5, atol=1e-4)
