@@ -16,8 +16,9 @@ A = 1 - T_final):
 
 then chained to (mean2d, conic, color, opacity) and reduced over the tile's
 pixels. Each instance belongs to exactly one tile, so per-instance grads land
-disjointly in a (9, K_pad) buffer — written read-modify-write because chunk
-windows are 128-aligned and may straddle a neighbouring tile's rows. The
+disjointly in a (16, K_pad) buffer; 128-aligned windows that straddle two
+tiles' rows are handed forward through persistent scratch instead of
+read-modify-written (see the ownership note inside the kernel). The
 transpose of the upstream feature gather (ops/binning.py) scatter-adds them
 back onto gaussians, and jax autodiff continues through projection to the 3D
 parameters — fulfilling the north-star "pixel gradients w.r.t. means,
@@ -74,12 +75,12 @@ def _bwd_kernel(
 ):
     del zeros_hbm  # aliased storage for g_feat_hbm; only read via the alias
     if has_zbuf:
-        (zbuf_ref, g_feat_hbm, feat_vmem, g_old_vmem, g_new_vmem,
-         sem_feat, sem_old, sem_out) = rest
+        (zbuf_ref, g_feat_hbm, feat_vmem, g_new_vmem, carry_vmem,
+         in_carry_vmem, carry_idx, sem_feat, sem_out) = rest
         zb = zbuf_ref[0, :, 0:1]
     else:
-        (g_feat_hbm, feat_vmem, g_old_vmem, g_new_vmem,
-         sem_feat, sem_old, sem_out) = rest
+        (g_feat_hbm, feat_vmem, g_new_vmem, carry_vmem,
+         in_carry_vmem, carry_idx, sem_feat, sem_out) = rest
         zb = None
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -111,10 +112,23 @@ def _bwd_kernel(
     gtt = g_tf * t_final                 # (P, 1) hoisted out of the loop
 
     # Walk chunks in reverse: iteration i handles chunk c = c_done-1-i.
-    # Everything is double-buffered on slot = i % 2: feature reads, the
-    # read-modify-write old-grad reads, and the grad writes (whose windows
-    # are pairwise disjoint within a tile, and cross-tile sharing is
-    # serialized by the sequential grid).
+    # Feature reads and grad writes are double-buffered on slot = i % 2.
+    #
+    # Grad-window ownership (NO read-modify-write): ranges partition
+    # [0, total), so a 128-aligned window holds lanes of at most one tile
+    # plus its neighbours. Each program writes zeros outside its own
+    # [start, end) lanes; the single window its range's TOP can share with
+    # LATER tiles (base + CHUNK > end — only possible for the last walked
+    # chunk) is not written but handed forward through persistent scratch
+    # (carry_vmem / carry_idx survive the sequential grid, like the fwd
+    # ring cursors). The next tile with instances starts at end, so ITS
+    # lowest window is exactly the carried one: it adds the carry (lanes
+    # are disjoint; the carry holds zeros elsewhere) and writes once.
+    # Early-stopped tiles never reach their top boundary, so they write
+    # everything they walked and hand nothing forward — the untouched gap
+    # stays at the buffer's zero initialization, which is also what makes
+    # the sentinel tail correct. The final program flushes a pending carry
+    # (covers trailing empty tiles).
     def base_of(i):
         return astart + (c_done - 1 - i) * CHUNK
 
@@ -125,12 +139,6 @@ def _bwd_kernel(
             feat_vmem.at[i % 2], sem_feat.at[i % 2],
         )
 
-    def gold_dma(i):
-        return pltpu.make_async_copy(
-            g_feat_hbm.at[:, pl.ds(base_of(i), CHUNK)],
-            g_old_vmem.at[i % 2], sem_old.at[i % 2],
-        )
-
     def gout_dma(i):
         return pltpu.make_async_copy(
             g_new_vmem.at[i % 2],
@@ -138,14 +146,35 @@ def _bwd_kernel(
             sem_out.at[i % 2],
         )
 
-    # chunk i=0's feat/gold DMAs were issued by the previous grid program
-    # (see epilogue); only the first program self-issues. The gold prefetch
-    # is safe cross-tile because the previous program drains ALL its grad
-    # writes before issuing it.
+    last_prog = t == pl.num_programs(0) - 1
+
+    def wrote(i):
+        # the only skippable write is the top chunk's shared window
+        return jnp.logical_or(
+            jnp.logical_or(i > 0, base_of(0) + CHUNK <= end), last_prog
+        )
+
+    # chunk i=0's feat DMA was issued by the previous grid program (see
+    # epilogue); only the first program self-issues.
     @pl.when((t == 0) & (c_done > 0))
     def _():
         feat_dma(0).start()
-        gold_dma(0).start()
+
+    @pl.when(t == 0)
+    def _():
+        carry_idx[0] = -1
+
+    # Consume an incoming boundary carry up front (it always targets OUR
+    # lowest window, astart): a program with >= 2 chunks stashes its own
+    # top window BEFORE its lowest chunk runs, and there is only one
+    # outgoing carry slot — so the incoming rows move to a separate
+    # buffer now. Empty programs (c_done == 0) pass the carry through.
+    has_in = (c_done > 0) & (carry_idx[0] == astart)
+
+    @pl.when(has_in)
+    def _():
+        in_carry_vmem[:, :] = carry_vmem[:, :]
+        carry_idx[0] = -1
 
     tri_suf = _tri_mask(CHUNK, suffix=True)
     tri_suf_strict = _tri_mask(CHUNK, suffix=True, strict=True)
@@ -157,7 +186,6 @@ def _bwd_kernel(
         @pl.when(i + 1 < c_done)
         def _():
             feat_dma(i + 1).start()
-            gold_dma(i + 1).start()
 
         feat_dma(i).wait()
         chunk = feat_vmem[i % 2]
@@ -256,18 +284,32 @@ def _bwd_kernel(
              jnp.zeros((FEAT_PAD - 10, CHUNK), jnp.float32)],
             axis=0,
         )
-        # wait for the write issued two iterations ago before reusing its
-        # buffer slot
-        @pl.when(i >= 2)
+        # wait for the write issued two iterations ago (if any) before
+        # reusing its buffer slot
+        @pl.when((i >= 2) & wrote(i - 2))
         def _():
             gout_dma(i - 2).wait()
 
-        # read-modify-write: preserve neighbouring tiles' rows in this
-        # 128-aligned window (windows within a tile are disjoint; the
-        # sequential grid serializes the shared cross-tile block)
-        gold_dma(i).wait()
-        g_new_vmem[i % 2] = jnp.where(in_range, grow, g_old_vmem[i % 2])
-        gout_dma(i).start()
+        # zeros outside our lanes; at our LOWEST window, add the carried
+        # boundary rows from the previous tile with instances (disjoint
+        # lanes, zeros elsewhere — see ownership note above)
+        rows_own = jnp.where(in_range, grow, 0.0)
+        take_carry = (i == c_done - 1) & has_in
+        rows_own = rows_own + jnp.where(
+            take_carry, in_carry_vmem[:, :], 0.0
+        )
+
+        stash = (i == 0) & jnp.logical_not(wrote(0))
+
+        @pl.when(stash)
+        def _():
+            carry_vmem[:, :] = rows_own
+            carry_idx[0] = base
+
+        @pl.when(jnp.logical_not(stash))
+        def _():
+            g_new_vmem[i % 2] = rows_own
+            gout_dma(i).start()
 
         # carry to the previous chunk: log T at this chunk's first
         # instance, combined suffix sum extended by this whole chunk
@@ -295,22 +337,25 @@ def _bwd_kernel(
         ).start()
 
     # drain the last (up to two) outstanding grad writes
-    @pl.when(c_done >= 2)
+    @pl.when((c_done >= 2) & wrote(c_done - 2))
     def _():
         gout_dma(c_done - 2).wait()
 
-    @pl.when(c_done >= 1)
+    @pl.when((c_done >= 1) & wrote(c_done - 1))
     def _():
         gout_dma(c_done - 1).wait()
 
-    # gold prefetch only after the drain: its read may touch the same
-    # 128-aligned boundary block this tile just read-modify-wrote
-    @pl.when(in_grid & (n_cd > 0))
+    # final program: flush a still-pending boundary carry (trailing tiles
+    # were all empty)
+    @pl.when(last_prog & (carry_idx[0] >= 0))
     def _():
-        pltpu.make_async_copy(
-            g_feat_hbm.at[:, pl.ds(nbase, CHUNK)],
-            g_old_vmem.at[0], sem_old.at[0],
-        ).start()
+        flush = pltpu.make_async_copy(
+            carry_vmem,
+            g_feat_hbm.at[:, pl.ds(pl.multiple_of(carry_idx[0], 128), CHUNK)],
+            sem_out.at[0],
+        )
+        flush.start()
+        flush.wait()
 
 
 def _bwd_pallas(
@@ -347,12 +392,13 @@ def _bwd_pallas(
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, PACKED_ROWS, CHUNK), jnp.int32),
-            pltpu.VMEM((2, FEAT_PAD, CHUNK), jnp.float32),
-            pltpu.VMEM((2, FEAT_PAD, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, PACKED_ROWS, CHUNK), jnp.int32),   # feat
+            pltpu.VMEM((2, FEAT_PAD, CHUNK), jnp.float32),    # g_new
+            pltpu.VMEM((FEAT_PAD, CHUNK), jnp.float32),       # carry out
+            pltpu.VMEM((FEAT_PAD, CHUNK), jnp.float32),       # carry in
+            pltpu.SMEM((1,), jnp.int32),                      # carry window
+            pltpu.SemaphoreType.DMA((2,)),                    # sem_feat
+            pltpu.SemaphoreType.DMA((2,)),                    # sem_out
         ],
     )
     g_feat = pl.pallas_call(
