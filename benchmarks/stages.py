@@ -140,6 +140,12 @@ def main():
     b = stage_bin(proj)
     out_tiles = stage_rast(proj, b)
 
+    @jax.jit
+    def stage_frame_stale(proj, b):
+        # viewer redraw with a cached tile index (render_binned path):
+        # fresh projection + gather + rasterize + assembly, stale binning
+        return tiles_to_image(_rast(features_from_projection(proj), b), cfg)
+
     result = {
         "n": args.n,
         "res": args.res,
@@ -149,6 +155,7 @@ def main():
         "binning_index_ms": timeit(stage_bin, proj),
         "gather_rasterize_fwd_ms": timeit(stage_rast, proj, b),
         "assembly_ms": timeit(stage_img, out_tiles),
+        "stale_order_frame_ms": timeit(stage_frame_stale, proj, b),
         "gather_rasterize_fwd_bwd_ms": timeit(rast_grad, proj, b),
         "device": str(jax.devices()[0]),
     }

@@ -12,7 +12,13 @@ from splatjax.scene import (
     build_covariances,
 )
 from splatjax.camera import Camera, make_camera, perspective, look_at
-from splatjax.render import composite_over, render, render_instances
+from splatjax.render import (
+    bin_scene,
+    composite_over,
+    render,
+    render_binned,
+    render_instances,
+)
 from splatjax import io
 
 __version__ = "0.1.0"
@@ -23,6 +29,8 @@ __all__ = [
     "build_covariances",
     "Camera",
     "render",
+    "render_binned",
+    "bin_scene",
     "render_instances",
     "composite_over",
     "make_camera",

@@ -255,6 +255,141 @@ def composite_over(
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile_size", "capacity",
+                     "viewer_exact"),
+)
+def _bin_impl(
+    means, scales, quats, colors, opacities, sh, modelview, projection,
+    cutout,
+    *, width: int, height: int, tile_size: int, capacity: int,
+    viewer_exact: bool,
+):
+    cov3d = build_covariances(quats, scales)
+    if viewer_exact:
+        q, qs = quantize_covariances_int16(covariance_upper(cov3d))
+        cov3d = cov6_to_mat(dequantize_covariances_int16(q, qs))
+    proj = project_gaussians(
+        means, cov3d, colors, opacities, modelview, projection,
+        width, height, max_scales=jnp.max(scales, axis=-1),
+        cutout=cutout, sh=sh,
+    )
+    cfg = TileConfig(width, height, tile_size, tile_size)
+    return bin_gaussians(proj, cfg, capacity, with_features=False)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile_size",
+                     "alpha_clip", "early_stop", "viewer_exact",
+                     "return_depth"),
+)
+def _render_binned_impl(
+    means, scales, quats, colors, opacities, sh,
+    modelview, projection, cutout, background, zbuf, bins,
+    *, width: int, height: int, tile_size: int,
+    alpha_clip: Optional[float], early_stop: float, viewer_exact: bool,
+    return_depth: bool,
+):
+    cov3d = build_covariances(quats, scales)
+    if viewer_exact:
+        q, qs = quantize_covariances_int16(covariance_upper(cov3d))
+        cov3d = cov6_to_mat(dequantize_covariances_int16(q, qs))
+    proj = project_gaussians(
+        means, cov3d, colors, opacities, modelview, projection,
+        width, height, max_scales=jnp.max(scales, axis=-1),
+        cutout=cutout, sh=sh,
+    )
+    cfg = TileConfig(width, height, tile_size, tile_size)
+    zbuf_tiles = None if zbuf is None else zbuffer_to_tiles(zbuf, cfg)
+    out_tiles, _ = rasterize_gathered(
+        features_from_projection(proj),
+        bins.gauss_id, bins.starts, bins.ends,
+        bins.cum, bins.count, bins.perm, bins.cum_d, bins.count_d,
+        bins.overflow, zbuf_tiles, cfg, alpha_clip, early_stop,
+    )
+    img = tiles_to_image(out_tiles, cfg, background)
+    depth = tiles_to_depth(out_tiles, cfg) if return_depth else None
+    return img, depth
+
+
+def bin_scene(
+    scene: GaussianScene,
+    camera: Camera,
+    *,
+    tile_size: int = 16,
+    capacity: Optional[int] = None,
+    viewer_exact: bool = False,
+    cutout: Optional[Array] = None,
+):
+    """Build the tile-binned instance index for a (scene, view) pair.
+
+    The result can be passed to :func:`render_binned` to redraw frames
+    WITHOUT re-sorting — the TPU analogue of the reference viewer reusing
+    the worker's previous sorted order while a new sort is in flight
+    (index.js:439-453, 206): projection/colors are always fresh, only the
+    tile lists and front-to-back order are stale. With an unchanged camera
+    the redraw is exact; under small camera motion splats keep their old
+    tile assignment and blend order (coverage fades at tile borders much
+    like the reference's one-frame-stale order).
+    """
+    if capacity is None:
+        capacity = default_capacity(scene.num_gaussians)
+    return _bin_impl(
+        jnp.asarray(scene.means, jnp.float32),
+        jnp.asarray(scene.scales, jnp.float32),
+        jnp.asarray(scene.quats, jnp.float32),
+        jnp.asarray(scene.colors, jnp.float32),
+        jnp.asarray(scene.opacities, jnp.float32),
+        None if scene.sh is None else jnp.asarray(scene.sh, jnp.float32),
+        camera.modelview, camera.projection,
+        None if cutout is None else jnp.asarray(cutout, jnp.float32),
+        width=camera.width, height=camera.height, tile_size=tile_size,
+        capacity=capacity, viewer_exact=viewer_exact,
+    )
+
+
+def render_binned(
+    scene: GaussianScene,
+    camera: Camera,
+    bins,
+    *,
+    tile_size: int = 16,
+    alpha_clip="auto",
+    early_stop: float = 1e-4,
+    viewer_exact: bool = False,
+    cutout: Optional[Array] = None,
+    background: Optional[Array] = None,
+    zbuf: Optional[Array] = None,
+    return_depth: bool = False,
+):
+    """Render with a cached instance index from :func:`bin_scene`.
+
+    Skips the depth sort / expansion / tile sort (~40% of a frame at
+    1M@1080p) — fresh projection and shading, stale binning. Exact when
+    the camera matches the one the bins were built with.
+    """
+    img, depth = _render_binned_impl(
+        jnp.asarray(scene.means, jnp.float32),
+        jnp.asarray(scene.scales, jnp.float32),
+        jnp.asarray(scene.quats, jnp.float32),
+        jnp.asarray(scene.colors, jnp.float32),
+        jnp.asarray(scene.opacities, jnp.float32),
+        None if scene.sh is None else jnp.asarray(scene.sh, jnp.float32),
+        camera.modelview, camera.projection,
+        None if cutout is None else jnp.asarray(cutout, jnp.float32),
+        None if background is None else jnp.asarray(background, jnp.float32),
+        None if zbuf is None else jnp.asarray(zbuf, jnp.float32),
+        bins,
+        width=camera.width, height=camera.height, tile_size=tile_size,
+        alpha_clip=resolve_alpha_clip(alpha_clip, viewer_exact),
+        early_stop=early_stop, viewer_exact=viewer_exact,
+        return_depth=return_depth,
+    )
+    return (img, depth) if return_depth else img
+
+
 def render(
     scene: GaussianScene,
     camera: Camera,

@@ -81,11 +81,15 @@ class SplatRenderer:
     tile_size: int = 16
     background: Optional[Array] = None
     progress: Optional[object] = None  # callback(StreamProgress)
+    resort_interval: int = 1
 
     def __post_init__(self):
         self._pending = b""
         self._parts: list[GaussianScene] = []
         self._fed = 0  # splats parsed from feed() so far (capped)
+        self._bins = None            # cached tile index (resort_interval>1)
+        self._bins_key = None        # (scene id, w, h) the cache is for
+        self._frames_since_sort = 0
         if self.src is not None:
             # streamed load with progress reporting, exactly like the
             # reference's fetch loop (index.js:238-303): .splat rows are
@@ -162,6 +166,8 @@ class SplatRenderer:
                 width=max(int(camera.width * ratio), 1),
                 height=max(int(camera.height * ratio), 1),
             )
+        if self.resort_interval > 1 and not overrides:
+            return self._render_stale_order(camera)
         kw = dict(
             tile_size=self.tile_size,
             capacity=self.capacity,
@@ -174,3 +180,35 @@ class SplatRenderer:
         )
         kw.update(overrides)
         return render(self.scene, camera, **kw)
+
+    def _render_stale_order(self, camera: Camera) -> Array:
+        """Frame with a possibly-stale tile index — the analogue of the
+        reference reusing the worker's previous sorted order while a new
+        sort is in flight (sortReady backpressure, index.js:439-453, 206).
+
+        The index is rebuilt every ``resort_interval`` frames (and whenever
+        the scene or viewport changes); projection and shading are always
+        current-frame. Interval 1 == exact per-frame sort.
+        """
+        from splatjax.render import bin_scene, render_binned
+
+        key = (id(self.scene), camera.width, camera.height)
+        if (
+            self._bins is None
+            or self._bins_key != key
+            or self._frames_since_sort >= self.resort_interval
+        ):
+            self._bins = bin_scene(
+                self.scene, camera,
+                tile_size=self.tile_size, capacity=self.capacity,
+                viewer_exact=self.viewer_exact, cutout=self.cutout,
+            )
+            self._bins_key = key
+            self._frames_since_sort = 0
+        self._frames_since_sort += 1
+        return render_binned(
+            self.scene, camera, self._bins,
+            tile_size=self.tile_size, alpha_clip=self.alpha_clip,
+            early_stop=self.early_stop, viewer_exact=self.viewer_exact,
+            cutout=self.cutout, background=self.background,
+        )
