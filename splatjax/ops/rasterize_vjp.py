@@ -71,7 +71,7 @@ def _bwd_kernel(
     # inputs: feat, zeros, g_out, out_saved [, zbuf]
     feat_hbm, zeros_hbm, g_out_ref, out_saved_ref, *rest,
     # then: g_feat_hbm (aliased with zeros_hbm) + scratch
-    cfg: TileConfig, alpha_clip, has_zbuf: bool,
+    cfg: TileConfig, alpha_clip, has_zbuf: bool, g_channels: int = 8,
 ):
     del zeros_hbm  # aliased storage for g_feat_hbm; only read via the alias
     if has_zbuf:
@@ -93,7 +93,11 @@ def _bwd_kernel(
     g_g = g_out_ref[0, :, 1:2]
     g_b = g_out_ref[0, :, 2:3]
     g_tf = g_out_ref[0, :, 3:4]
-    g_d = g_out_ref[0, :, 5:6]          # expected-depth cotangent
+    if g_channels == 4:
+        # image-level cotangent (r, g, b, T_final): no depth channel
+        g_d = jnp.zeros_like(g_tf)
+    else:
+        g_d = g_out_ref[0, :, 5:6]      # expected-depth cotangent
     t_final = out_saved_ref[0, :, 3:4]
 
     # Per-tile constant bases for the MXU gradient reductions (see body):
@@ -363,18 +367,22 @@ def _bwd_pallas(
     cfg: TileConfig, alpha_clip, zbuf=None,
 ):
     """feat_cm: chunk-major (n_chunks, 8, CHUNK) packed features (the
-    forward's streaming layout, shared as the VJP residual)."""
+    forward's streaming layout, shared as the VJP residual). g_out may be
+    (T, P, 8) (full out_tiles cotangent) or (T, P, 4) (image-level
+    r/g/b/T_final cotangent, no depth channel)."""
     t_tiles = cfg.num_tiles
     p = cfg.pixels_per_tile
     k_pad = feat_cm.shape[0] * CHUNK
+    gch = g_out.shape[-1]
     kernel = functools.partial(
-        _bwd_kernel, cfg=cfg, alpha_clip=alpha_clip, has_zbuf=zbuf is not None
+        _bwd_kernel, cfg=cfg, alpha_clip=alpha_clip,
+        has_zbuf=zbuf is not None, g_channels=gch,
     )
     zeros = jnp.zeros((FEAT_PAD, k_pad), jnp.float32)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # feat (packed)
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # zeros->alias
-        pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((1, p, gch), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),  # g_out
         pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),  # saved fwd out (T_final)
@@ -534,3 +542,111 @@ def _gathered_bwd_rule(cfg, alpha_clip, early_stop, res, cotangents):
 
 
 rasterize_gathered.defvjp(_gathered_fwd_rule, _gathered_bwd_rule)
+
+
+# ---- image-level fused VJP ---------------------------------------------
+# Moving the custom-VJP boundary up to the assembled (H, W, 4) image lets
+# the backward hand the kernel a 4-channel tile cotangent directly: XLA
+# autodiff through tiles_to_image would otherwise materialize a zero-padded
+# (T, P, 8) cotangent (~100 MB at 1080p, ~3 ms) plus the slice transpose.
+
+
+def _assemble_image(out_tiles, cfg: TileConfig, background):
+    from splatjax.ops.rasterize import tiles_to_image
+
+    return tiles_to_image(out_tiles, cfg, background)
+
+
+def _image_cotangent_to_tiles(gimg, cfg: TileConfig, background):
+    """(H, W, 4) image cotangent -> (T, P, 4) [g_r, g_g, g_b, g_T] tiles
+    (the exact transpose of tiles_to_image's layout + channel map)."""
+    ty_n, tx_n = cfg.tiles_y, cfg.tiles_x
+    th, tw = cfg.tile_h, cfg.tile_w
+    g = jnp.asarray(gimg, jnp.float32)[::-1]            # back to y-up rows
+    g = jnp.pad(
+        g, ((0, ty_n * th - cfg.height), (0, tx_n * tw - cfg.width), (0, 0))
+    )
+    g = g.reshape(ty_n, th, tx_n, tw, 4).transpose(0, 2, 1, 3, 4)
+    g = g.reshape(ty_n * tx_n, th * tw, 4)
+    g_rgb = g[..., :3]
+    g_alpha = g[..., 3]
+    # out_tiles channel 3 is T_final; image rgb = rgb_tiles + T * bg and
+    # image alpha = 1 - T, so g_T = g_rgb . bg - g_alpha
+    if background is None:
+        g_t = -g_alpha
+    else:
+        g_t = jnp.tensordot(g_rgb, background, axes=([2], [0])) - g_alpha
+    return jnp.concatenate([g_rgb, g_t[..., None]], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+def render_image_gathered(
+    feat_n: Array,
+    gid: Array,
+    starts: Array,
+    ends: Array,
+    cum: Array,
+    count: Array,
+    perm: Array,
+    cum_d: Array,
+    count_d: Array,
+    overflow: Array,
+    background: Optional[Array],
+    zbuf: Optional[Array],
+    cfg: TileConfig,
+    alpha_clip: Optional[float] = None,
+    early_stop: float = 1e-4,
+):
+    """Fused gather + rasterize + image assembly with one custom VJP.
+
+    Same contract as :func:`rasterize_gathered` but returns the assembled
+    (H, W, 4) image directly (optionally over ``background``), and its
+    backward builds the kernel's 4-channel cotangent from the image
+    cotangent without the padded (T, P, 8) intermediate.
+    """
+    feat_cm = chunk_major_rows(pack_feature_table(feat_n)[gid])
+    out_tiles, _ = rasterize_cm_fwd(
+        feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
+        early_stop=early_stop, zbuf=zbuf,
+    )
+    return _assemble_image(out_tiles, cfg, background)
+
+
+def _image_fwd_rule(feat_n, gid, starts, ends, cum, count, perm,
+                    cum_d, count_d, overflow, background, zbuf,
+                    cfg, alpha_clip, early_stop):
+    feat_cm = chunk_major_rows(pack_feature_table(feat_n)[gid])
+    out_tiles, chunks_done = rasterize_cm_fwd(
+        feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
+        early_stop=early_stop, zbuf=zbuf,
+    )
+    img = _assemble_image(out_tiles, cfg, background)
+    res = (feat_cm, gid, starts, ends, cum, count, perm, cum_d, count_d,
+           overflow, background, zbuf, out_tiles, chunks_done)
+    return img, res
+
+
+def _image_bwd_rule(cfg, alpha_clip, early_stop, res, gimg):
+    del early_stop
+    (feat_cm, gid, starts, ends, cum, count, perm, cum_d, count_d,
+     overflow, background, zbuf, out_tiles, chunks_done) = res
+    g4 = _image_cotangent_to_tiles(gimg, cfg, background)
+    g_feat = _bwd_pallas(
+        feat_cm, starts, ends, chunks_done, out_tiles, g4, cfg,
+        alpha_clip, zbuf=zbuf,
+    )
+    gt = g_feat[:FEAT_DIM, : gid.shape[0]]              # (16, K)
+    seg = segment_sum_by_gid(
+        gt, gid, cum, count, perm, cum_d, count_d, overflow
+    )                                                   # (N, 16)
+    if background is None:
+        g_bg = None
+    else:
+        # image rgb = rgb_tiles + T * bg: d/d bg_c = sum_pixels g_c * T
+        g_bg = jnp.tensordot(
+            g4[..., :3], out_tiles[:, :, 3], axes=([0, 1], [0, 1])
+        )
+    return (seg,) + (None,) * 9 + (g_bg, None)
+
+
+render_image_gathered.defvjp(_image_fwd_rule, _image_bwd_rule)

@@ -26,7 +26,10 @@ from splatjax.ops.rasterize import (
     tiles_to_image,
     zbuffer_to_tiles,
 )
-from splatjax.ops.rasterize_vjp import rasterize_gathered
+from splatjax.ops.rasterize_vjp import (
+    rasterize_gathered,
+    render_image_gathered,
+)
 from splatjax.scene import (
     GaussianScene,
     build_covariances,
@@ -100,6 +103,17 @@ def _render_impl(
         with_features=False,
     )
     zbuf_tiles = None if zbuf is None else zbuffer_to_tiles(zbuf, cfg)
+    if not return_depth:
+        # image-level fused VJP: the backward consumes the (H, W, 4)
+        # cotangent directly (no padded (T, P, 8) intermediate)
+        img = render_image_gathered(
+            features_from_projection(proj),
+            binned.gauss_id, binned.starts, binned.ends,
+            binned.cum, binned.count, binned.perm, binned.cum_d,
+            binned.count_d, binned.overflow, background, zbuf_tiles,
+            cfg, alpha_clip, early_stop,
+        )
+        return img, None, binned.overflow
     out_tiles, _ = rasterize_gathered(
         features_from_projection(proj),
         binned.gauss_id, binned.starts, binned.ends,
@@ -107,7 +121,7 @@ def _render_impl(
         binned.overflow, zbuf_tiles, cfg, alpha_clip, early_stop,
     )
     img = tiles_to_image(out_tiles, cfg, background)
-    depth = tiles_to_depth(out_tiles, cfg) if return_depth else None
+    depth = tiles_to_depth(out_tiles, cfg)
     return img, depth, binned.overflow
 
 
