@@ -39,7 +39,9 @@ def main():
     res = os.environ.get("SPLATJAX_BENCH_RES", "1920x1080")
     width, height = (int(v) for v in res.split("x"))
     capacity = int(os.environ.get("SPLATJAX_BENCH_CAP", 3 * n))
-    iters = int(os.environ.get("SPLATJAX_BENCH_ITERS", 10))
+    # the tunnel adds ~±5 ms of per-call jitter on top of the ~26 ms RTT;
+    # 20 samples keeps the median's noise ~1-2 ms
+    iters = int(os.environ.get("SPLATJAX_BENCH_ITERS", 20))
 
     # scale_range tuned so a 1M scene lands ~3-4 duplicated instances per
     # splat at 1080p (train.splat-like screen footprints). With
@@ -121,11 +123,17 @@ def main():
 
     def timeit(f, *a):
         _sync(f(*a))  # warm
+        # J async dispatches per sync: device executions queue back-to-back,
+        # so the tunnel RTT (and its drift) is paid once per J frames
+        j = int(os.environ.get("SPLATJAX_BENCH_BATCH", 4))
         times = []
-        for _ in range(iters):
+        for _ in range(max(iters // j, 3)):
             t0 = time.perf_counter()
-            _sync(f(*a))
-            times.append(time.perf_counter() - t0 - rtt)
+            out = None
+            for _ in range(j):
+                out = f(*a)
+            _sync(out)
+            times.append((time.perf_counter() - t0 - rtt) / j)
         return max(float(np.median(times)), 1e-6)
 
     t_fwd = timeit(fwd_fn, params)
