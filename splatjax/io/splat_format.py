@@ -97,8 +97,15 @@ def scene_to_splat_bytes(scene: GaussianScene) -> bytes:
     pos_out = means * np.array([1.0, 1.0, -1.0], dtype=np.float32)
 
     rows = np.zeros((n, ROW_LENGTH), dtype=np.uint8)
-    rows[:, :12] = pos_out.astype("<f4").view(np.uint8).reshape(n, 12)
-    rows[:, 12:24] = scales.astype("<f4").view(np.uint8).reshape(n, 12)
+    # ascontiguousarray: np.asarray of a device array (or a sliced pytree
+    # leaf, e.g. after densification) may be non-contiguous, which .view
+    # rejects
+    rows[:, :12] = np.ascontiguousarray(
+        pos_out.astype("<f4")
+    ).view(np.uint8).reshape(n, 12)
+    rows[:, 12:24] = np.ascontiguousarray(
+        scales.astype("<f4")
+    ).view(np.uint8).reshape(n, 12)
     rows[:, 24:27] = np.clip(np.rint(colors * 255.0), 0, 255).astype(np.uint8)
     rows[:, 27] = np.clip(np.rint(opac * 255.0), 0, 255).astype(np.uint8)
     rows[:, 28:32] = qb
