@@ -226,15 +226,24 @@ def segment_sum_by_gid(
         q = jnp.clip(jnp.round(gt / scale), -32767.0, 32767.0)
         u = (q + 32768.0).astype(jnp.uint32)             # biased u16 range
         packed = ((u[:, 8:] << 16) | u[:, :8]).astype(jnp.int32)
-        gp = packed[order]                               # (K, 8) gather
+        # pad the gather INDICES, not the gathered 32 B rows (saves a full
+        # ~96 MB HBM pad copy at 3M instances): pad rows repeat row 0, which
+        # is safe — run bounds end at eff_cum[-1] <= k, so pad rows beyond k
+        # never enter any run (same exclusion as the sentinel tail)
         k_pad2 = -(-k // W) * W
-        rows_pm = jnp.pad(gp, ((0, k_pad2 - k), (0, 0))).T  # (8, K_pad)
+        order_p = jnp.pad(order, (0, k_pad2 - k))
+        rows_pm = packed[order_p].T                      # (8, K_pad) gather
         n_pad2 = (-n) % LANES2
         cum_p2 = jnp.pad(
             eff_cum.astype(jnp.int32), (0, n_pad2), mode="edge"
         )
         sums = segment_reduce_packed_u16(rows_pm, cum_p2)   # (16, N_pad)
         return (sums[:, :n] * scale[:, None]).T
+    # pad the gather INDICES up front so gathered rows are born 128-aligned
+    # (pad rows repeat row 0 and never enter any run — bounds end at
+    # eff_cum[-1] <= k)
+    k_pad_to = -(-k // 128) * 128
+    order_p = jnp.pad(order, (0, k_pad_to - k))
     if mode in ("i16", "bf16") and c % 2 == 0:
         # bf16 fallback (and i16 with non-16 channel counts): two bf16 per
         # int32 lane around the gather; per-term error 2^-9 relative.
@@ -242,21 +251,20 @@ def segment_sum_by_gid(
             gt.astype(jnp.bfloat16), jnp.uint16
         ).astype(jnp.uint32)                             # (K, C)
         packed = ((u[:, 1::2] << 16) | u[:, 0::2]).astype(jnp.int32)
-        gp = packed[order].astype(jnp.uint32)            # (K, C/2) gather
+        gp = packed[order_p].astype(jnp.uint32)          # (K_pad, C/2)
         lo = (gp & 0xFFFF).astype(jnp.uint16)
         hi = (gp >> 16).astype(jnp.uint16)
         gs = jax.lax.bitcast_convert_type(
-            jnp.stack([lo, hi], axis=-1).reshape(k, c), jnp.bfloat16
-        ).astype(jnp.float32)                            # (K, C) by gaussian
+            jnp.stack([lo, hi], axis=-1).reshape(k_pad_to, c), jnp.bfloat16
+        ).astype(jnp.float32)                            # (K_pad, C)
     else:
-        gs = gt[order]                                   # (K, C) by gaussian
+        gs = gt[order_p]                                 # (K_pad, C)
     # per-gaussian runs are [eff_cum[g-1], eff_cum[g]) in this order; the
     # sentinel tail (gid n-1, zero rows) sorts after gaussian n-1's real
-    # run and matches no lane in the kernel. Pad rows/runs to the kernel's
+    # run and matches no lane in the kernel. Pad runs to the kernel's
     # 128 alignment (empty pad runs repeat the final cum).
-    k_pad = (-k) % 128
     n_pad = (-n) % 128
-    gs_fm = jnp.pad(gs, ((0, k_pad), (0, 0))).T          # (C, K_pad)
+    gs_fm = gs.T                                         # (C, K_pad)
     cum_p = jnp.pad(eff_cum.astype(jnp.int32), (0, n_pad), mode="edge")
     return segment_reduce_rows(gs_fm, cum_p).T[:n]
 

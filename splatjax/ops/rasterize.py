@@ -184,6 +184,25 @@ def chunk_major_rows(feat_km: Array) -> Array:
     return pad_chunk_major(cm)
 
 
+def gather_chunk_major(table_pk: Array, gid: Array) -> Array:
+    """Gather packed rows straight into the streaming chunk-major layout.
+
+    Pads the (K,) int32 *indices* to the block-aligned capacity before the
+    gather (repeating index 0) so the gathered rows are born padded —
+    replacing the post-gather jnp.pad of the 32 B x K data itself, a full
+    extra HBM copy (~96 MB / ~1.5 ms at 3M instances on v5e). Pad lanes
+    hold gaussian 0's real features, which is safe everywhere a zero row
+    was: tile ranges never reach pad lanes, out-of-range lanes die through
+    the opacity-row mask, and a real conic keeps power <= 0 (no exp
+    overflow; the old zero rows relied on the same property).
+    """
+    k = gid.shape[0]
+    k_pad = -(-(k + CHUNK) // BLK) * BLK
+    gid_p = jnp.pad(gid, (0, k_pad - k))
+    rows = table_pk[gid_p]                                # (K_pad, 8)
+    return rows.reshape(k_pad // CHUNK, CHUNK, PACKED_ROWS).transpose(0, 2, 1)
+
+
 def _pixel_grids(cfg: TileConfig, tile_idx):
     """(P, 1) x/y pixel-center coordinates for one tile (y-up frame)."""
     p = cfg.pixels_per_tile
@@ -254,8 +273,15 @@ def _tri_cumsum(x, mask):
 _LOG_OM_MIN = -60.0
 
 
-def _log_om(alpha):
-    return jnp.maximum(jnp.log1p(-alpha), _LOG_OM_MIN)
+def _log_om(alpha, alpha_clip=None):
+    """log(1 - alpha), clamped against alpha == 1. The clamp is a full
+    (P, CHUNK) VPU op per chunk; when alpha_clip already bounds alpha away
+    from 1 at trace time (log1p(-clip) is finite, e.g. -6.9 at the default
+    0.999) it is skipped entirely."""
+    s = jnp.log1p(-alpha)
+    if alpha_clip is not None and alpha_clip < 1.0:
+        return s
+    return jnp.maximum(s, _LOG_OM_MIN)
 
 
 def _power_basis(pxl, pyl):
@@ -419,16 +445,19 @@ def _fwd_kernel(
         # EXCLUSIVE cumprod of (1-alpha) straight from the STRICT
         # triangular mask (no roll/select pass); the chunk-inclusive
         # total needed for the carry is recovered on the last lane only.
-        s = _log_om(alpha)                                # (P, CHUNK)
+        s = _log_om(alpha, alpha_clip)                    # (P, CHUNK)
         s_excl = _tri_cumsum(s, tri_pre)
         t_excl = jnp.exp(s_excl)                          # (P, CHUNK)
-        w = alpha * t_excl * t_vec                        # (P, CHUNK)
+        w = alpha * t_excl                                # within-chunk only
         # rgb + expected-depth accumulation as ONE small MXU pass instead
-        # of four VPU lane-tree reductions: (P, K) @ (K, 4)
+        # of four VPU lane-tree reductions: (P, K) @ (K, 4). The carried
+        # transmittance t_vec scales the whole chunk uniformly per pixel,
+        # so it multiplies the (P, 4) matmul OUTPUT — 1/32nd the lanes of
+        # scaling w itself.
         colmat = jnp.concatenate(
             [rows[5], rows[6], rows[7], rows[9]], axis=0
         )                                                 # (4, CHUNK)
-        acc = acc + jax.lax.dot_general(
+        acc = acc + t_vec * jax.lax.dot_general(
             w, colmat, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,  # full f32: parity at 1e-3
             preferred_element_type=jnp.float32,

@@ -53,6 +53,7 @@ from splatjax.ops.rasterize import (
     _use_interpret,
     chunk_major,
     chunk_major_rows,
+    gather_chunk_major,
     pack_feature_rows,
     pack_feature_table,
     pad_chunk_major,
@@ -205,7 +206,7 @@ def _bwd_kernel(
         # exp(-inf - s) is exactly 0). Absolute log error is ~eps * |s_q|,
         # i.e. only deeply-opaque stacks (T below any gradient threshold)
         # see more than ~1e-6 relative t_k error.
-        s_q = _tri_cumsum(_log_om(alpha), tri_suf)
+        s_q = _tri_cumsum(_log_om(alpha, alpha_clip), tri_suf)
         t_k = jnp.exp(lt_after - s_q)
 
         col_r, col_g, col_b = rows[5], rows[6], rows[7]
@@ -232,7 +233,12 @@ def _bwd_kernel(
         sx_u = sx_loc + s_u
         tot_u = sx_loc[:, 0:1] + u[:, 0:1]       # chunk-inclusive total
 
-        om_safe = jnp.where(om > 1e-6, om, 1e-6)
+        if alpha_clip is not None and alpha_clip < 1.0:
+            # alpha <= clip < 1 bounds om away from 0 at trace time: skip
+            # the two-op (P, CHUNK) guard entirely
+            om_safe = om
+        else:
+            om_safe = jnp.where(om > 1e-6, om, 1e-6)
         # one division: (S_i + g_T T_final) / (1 - a_i); gtt = g_tf*t_final
         # is per-pixel, hoisted out of the chunk loop
         g_alpha = tg - (sx_u + gtt) / om_safe
@@ -504,7 +510,7 @@ def rasterize_gathered(
     """
     # gathered (K, 8) rows go straight to the streaming chunk-major layout
     # (one shuffle — same cost as the (8, K) transpose it replaces)
-    feat_cm = chunk_major_rows(pack_feature_table(feat_n)[gid])
+    feat_cm = gather_chunk_major(pack_feature_table(feat_n), gid)
     return rasterize_cm_fwd(
         feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
         early_stop=early_stop, zbuf=zbuf,
@@ -514,7 +520,7 @@ def rasterize_gathered(
 def _gathered_fwd_rule(feat_n, gid, starts, ends, cum, count, perm,
                        cum_d, count_d, overflow, zbuf,
                        cfg, alpha_clip, early_stop):
-    feat_cm = chunk_major_rows(pack_feature_table(feat_n)[gid])
+    feat_cm = gather_chunk_major(pack_feature_table(feat_n), gid)
     out = rasterize_cm_fwd(
         feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
         early_stop=early_stop, zbuf=zbuf,
@@ -604,7 +610,7 @@ def render_image_gathered(
     backward builds the kernel's 4-channel cotangent from the image
     cotangent without the padded (T, P, 8) intermediate.
     """
-    feat_cm = chunk_major_rows(pack_feature_table(feat_n)[gid])
+    feat_cm = gather_chunk_major(pack_feature_table(feat_n), gid)
     out_tiles, _ = rasterize_cm_fwd(
         feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
         early_stop=early_stop, zbuf=zbuf,
@@ -615,7 +621,7 @@ def render_image_gathered(
 def _image_fwd_rule(feat_n, gid, starts, ends, cum, count, perm,
                     cum_d, count_d, overflow, background, zbuf,
                     cfg, alpha_clip, early_stop):
-    feat_cm = chunk_major_rows(pack_feature_table(feat_n)[gid])
+    feat_cm = gather_chunk_major(pack_feature_table(feat_n), gid)
     out_tiles, chunks_done = rasterize_cm_fwd(
         feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
         early_stop=early_stop, zbuf=zbuf,
