@@ -49,6 +49,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -273,13 +274,22 @@ def _tri_cumsum(x, mask):
 _LOG_OM_MIN = -60.0
 
 
+def clip_bounds_alpha(alpha_clip) -> bool:
+    """True iff alpha_clip bounds alpha strictly below 1 *after f32
+    rounding*. The kernels clip in f32 (jnp.minimum in _chunk_alpha), so a
+    Python double like 1 - 1e-8 rounds to exactly 1.0f and does NOT bound
+    alpha — comparing the double (`alpha_clip < 1.0`) would wrongly skip
+    the log1p(-1) = -inf / divide-by-(1-alpha)==0 guards."""
+    return alpha_clip is not None and float(np.float32(alpha_clip)) < 1.0
+
+
 def _log_om(alpha, alpha_clip=None):
     """log(1 - alpha), clamped against alpha == 1. The clamp is a full
     (P, CHUNK) VPU op per chunk; when alpha_clip already bounds alpha away
     from 1 at trace time (log1p(-clip) is finite, e.g. -6.9 at the default
     0.999) it is skipped entirely."""
     s = jnp.log1p(-alpha)
-    if alpha_clip is not None and alpha_clip < 1.0:
+    if clip_bounds_alpha(alpha_clip):
         return s
     return jnp.maximum(s, _LOG_OM_MIN)
 

@@ -35,6 +35,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,6 +45,7 @@ from splatjax.ops.rasterize import (
     FEAT_PAD,
     PACKED_ROWS,
     _chunk_alpha,
+    clip_bounds_alpha,
     _lane_iota,
     _log_om,
     _power_basis,
@@ -233,9 +235,14 @@ def _bwd_kernel(
         sx_u = sx_loc + s_u
         tot_u = sx_loc[:, 0:1] + u[:, 0:1]       # chunk-inclusive total
 
-        if alpha_clip is not None and alpha_clip < 1.0:
-            # alpha <= clip < 1 bounds om away from 0 at trace time: skip
-            # the two-op (P, CHUNK) guard entirely
+        if clip_bounds_alpha(alpha_clip) and (
+            1.0 - float(np.float32(alpha_clip)) >= 1e-6
+        ):
+            # alpha <= clip <= 1 - 1e-6 (checked on the f32-ROUNDED clip —
+            # the value the kernel actually clips with) bounds om away from
+            # 0 at trace time: skip the two-op (P, CHUNK) guard entirely.
+            # Clips inside (1 - 1e-6, 1) keep the floor: om can reach
+            # ~6e-8 there and an unfloored divide spikes gradients ~17x.
             om_safe = om
         else:
             om_safe = jnp.where(om > 1e-6, om, 1e-6)

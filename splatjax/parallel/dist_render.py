@@ -144,9 +144,16 @@ def _band_render_body(
         on = proj_local.mask & (fb1 >= 0) & (fb0 <= n_dev - 1)
         b0 = jnp.clip(fb0, 0, n_dev - 1)
         b1 = jnp.clip(fb1, 0, n_dev - 1)
-        span = b1 - b0 + 1
-        # spans beyond MAX_BANDS: tail bands dropped (counted below)
-        dests = b0[None, :] + jnp.arange(
+        # spans beyond MAX_BANDS keep the window of MAX_BANDS consecutive
+        # bands CENTERED on the band containing the gaussian's mean (its
+        # densest coverage); the cut bands are counted per losing band
+        # below, not estimated
+        bc = jnp.clip(
+            jnp.floor(my / band_h).astype(jnp.int32), b0, b1
+        )
+        w0 = jnp.clip(bc - (MAX_BANDS - 1) // 2, b0,
+                      jnp.maximum(b1 - MAX_BANDS + 1, b0))
+        dests = w0[None, :] + jnp.arange(
             MAX_BANDS, dtype=jnp.int32
         )[:, None]                                      # (MAXB, n_loc)
         ok = on[None, :] & (dests <= b1[None, :])
@@ -172,11 +179,17 @@ def _band_render_body(
         pair_drop = jnp.maximum(
             bounds[1:] - bounds[:-1] - pair_capacity, 0
         ) + jnp.zeros((n_dev,), jnp.int32)
-        # rows lost to the MAX_BANDS span cap, attributed per gaussian
-        span_drop = jnp.sum(
-            jnp.where(on, jnp.maximum(span - MAX_BANDS, 0), 0)
-        )
-        pair_drop = pair_drop + span_drop // n_dev      # spread estimate
+        # rows lost to the MAX_BANDS span cap, attributed EXACTLY to the
+        # bands that lost coverage: every band of [b0, b1] outside the
+        # kept window [w0, w0+MAXB) drops one instance of this gaussian
+        band_ids = jnp.arange(n_dev, dtype=jnp.int32)[:, None]
+        lost = (
+            on[None, :]
+            & (band_ids >= b0[None, :]) & (band_ids <= b1[None, :])
+            & ((band_ids < w0[None, :])
+               | (band_ids >= (w0 + MAX_BANDS)[None, :]))
+        )                                               # (n_dev, n_loc)
+        pair_drop = pair_drop + jnp.sum(lost.astype(jnp.int32), axis=1)
         recv = jax.lax.all_to_all(
             send, axis, split_axis=0, concat_axis=0, tiled=True
         )                                               # (D*cap, 13)

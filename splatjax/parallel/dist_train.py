@@ -62,7 +62,12 @@ def make_dp_band_train_step(
 
     Returns (step, opt); ``step(params, opt_state, mvs, prs, targets)``
     takes stacked (D_view, 4, 4) camera matrices and (D_view, H, W, 4)
-    targets. Gaussian count must divide by the band-axis size.
+    targets and returns ``(params, opt_state, loss, psnr, gnorm, drops)``
+    where ``gnorm`` is the (N,) per-gaussian mean-gradient norm (the
+    densify signal, already psum'd over views) and ``drops`` the total
+    instance count lost to transfer/band/binning capacity this step.
+    Gaussian count must divide by the band-axis size. User-facing entry:
+    ``fit(mesh=..., band_axis=...)`` routes here (train/fit.py).
     """
     from splatjax.train.fit import _optimizer
     from splatjax.train.loss import combined_loss, psnr
@@ -84,7 +89,7 @@ def make_dp_band_train_step(
         cap = capacity or max(default_capacity(d_band * pc), 2048)
 
         def local_loss(ms, sc, qu, co, op, s):
-            out_tiles, _ = _band_render_body(
+            out_tiles, my_drop = _band_render_body(
                 ms, sc, qu, co, op, s, mv[0], pr[0],
                 axis=band_axis, n_dev=d_band, width=w, height=h,
                 band_h=band_h, cfg_band=cfg_band, pair_capacity=pc,
@@ -98,18 +103,29 @@ def make_dp_band_train_step(
             img = img[band_h * d_band - h:]
             return (
                 combined_loss(img, target[0], ssim_weight=cfg.ssim_weight),
-                img,
+                (img, my_drop),
             )
 
-        (loss, img), grads = jax.value_and_grad(
+        (loss, (img, my_drop)), grads = jax.value_and_grad(
             local_loss, argnums=(0, 1, 2, 3, 4, 5), has_aux=True
         )(means, scales, quats, colors, opacities, sh)
+        # 1/d_band: every band device computes the IDENTICAL full-image
+        # loss (the tiles were all_gathered), so the device-local backward
+        # sums d_band identical cotangents through the all_gather's
+        # psum_scatter transpose — the raw local grads are d_band x the
+        # true d(view loss)/d(shard). (Round-2 latent bug: Adam's scale
+        # invariance hid the factor, but it skewed the densify
+        # grad-threshold signal and any scale-sensitive consumer.)
         grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g, view_axis) / d_view, grads
+            lambda g: jax.lax.psum(g, view_axis) / (d_view * d_band), grads
         )
         loss = jax.lax.psum(loss, view_axis) / d_view
         p = jax.lax.psum(psnr(img, target[0]), view_axis) / d_view
-        return (*grads, loss[None], p[None])
+        # total instances dropped at any capacity this step, all bands/views
+        drops = jax.lax.psum(
+            jax.lax.psum(my_drop[0], band_axis), view_axis
+        )
+        return (*grads, loss[None], p[None], drops[None])
 
     spec_g = P(band_axis)     # gaussian shards: split on band, replicated
     spec_v = P(view_axis)     # per-view batch items
@@ -118,7 +134,7 @@ def make_dp_band_train_step(
         shard_fn,
         mesh=mesh,
         in_specs=(spec_g,) * 6 + (spec_v, spec_v, spec_v),
-        out_specs=(spec_g,) * 6 + (spec_r, spec_r),
+        out_specs=(spec_g,) * 6 + (spec_r, spec_r, spec_r),
         check_vma=False,
     )
 
@@ -131,7 +147,7 @@ def make_dp_band_train_step(
             else jnp.zeros((n, 0, 3), jnp.float32)
         )
         (g_means, g_scales, g_quats, g_colors, g_opac, g_sh, loss,
-         p) = sharded(
+         p, drops) = sharded(
             scene.means, scene.scales, scene.quats, scene.colors,
             scene.opacities, sh, mvs, prs, targets,
         )
@@ -147,8 +163,9 @@ def make_dp_band_train_step(
                 sh=None if scene.sh is None else g_sh,
             )
         )
+        gnorm = jnp.linalg.norm(grads.means, axis=-1)  # densify signal
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss[0], p[0]
+        return params, opt_state, loss[0], p[0], gnorm, drops[0]
 
     return step, opt

@@ -438,8 +438,10 @@ def render(
         this (0.0 = exact back-to-front blend equivalence).
       viewer_exact: apply the viewer's int16 covariance quantization (and
         disable the auto alpha clamp).
-      exact_depth_sort: order instances by exact f32 depth within each tile
-        (two stable sorts) instead of the packed quantized-depth key.
+      exact_depth_sort: DEPRECATED no-op (kept one release for API
+        compatibility). In-tile order is always exact f32 front-to-back —
+        strictly finer than the reference worker's 2^16-bucket counting
+        sort (index.js:557-567).
       cutout: optional (4, 4) world->unit-box cull matrix.
       background: optional (3,) RGB composited under the splats.
       zbuf: optional (H, W) camera-z buffer of opaque geometry (row 0 top,

@@ -105,10 +105,25 @@ def densify_and_prune(
     clone_idx = np.flatnonzero(hot & (max_scale <= cfg.split_scale))
     split_idx = np.flatnonzero(hot & (max_scale > cfg.split_scale))
     n_alive = int(alive.sum())
-    budget = cfg.max_gaussians - n_alive
-    n_new = min(len(clone_idx) + 2 * len(split_idx), budget)
+    # Budget the children BEFORE killing any parent: clones fill first,
+    # then split parents in whole 2-child pairs. A split parent whose
+    # children don't fit the max_gaussians budget keeps living (its
+    # children are dropped and counted) — killing it unconditionally would
+    # silently erase coverage at the budget boundary. Each placed split
+    # also frees its parent's slot, so the real capacity delta of a split
+    # is +1; budgeting its 2 children against the raw headroom is
+    # conservative and keeps alive-count monotone (absent pruning).
+    n_children = len(clone_idx) + 2 * len(split_idx)
+    budget = max(cfg.max_gaussians - n_alive, 0)
+    n_clone_placed = min(len(clone_idx), budget)
+    n_split_placed = min((budget - n_clone_placed) // 2, len(split_idx))
+    clone_idx = clone_idx[:n_clone_placed]
+    split_idx = split_idx[:n_split_placed]
+    n_new = n_clone_placed + 2 * n_split_placed
+    dropped_children = n_children - n_new
     if n_new <= 0 and not prune.any():
         report = {"cloned": 0, "split": 0, "pruned": int(prune.sum()),
+                  "dropped_children": dropped_children,
                   "alive": n_alive, "capacity": cap}
         return params, opt_state, alive, report
 
@@ -136,11 +151,12 @@ def densify_and_prune(
             None if sh is None else sh[rep],
         ))
     if split_idx.size:
+        # only parents whose children were actually budgeted above die
         alive[split_idx] = False
         logit_op[split_idx] = DEAD_LOGIT
         log_scales[split_idx] = DEAD_LOG_SCALE
 
-    cat = lambda i: np.concatenate([r[i] for r in new_rows], axis=0)[:max(n_new, 0)]
+    cat = lambda i: np.concatenate([r[i] for r in new_rows], axis=0)
     if new_rows and n_new > 0:
         nm, nls, nq, nlo, nc = cat(0), cat(1), cat(2), cat(3), cat(4)
         nsh = None if sh is None else cat(5)
@@ -195,7 +211,9 @@ def densify_and_prune(
     new_opt_state = jax.tree_util.tree_map(_grow_leaf, opt_state)
     report = {
         "cloned": int(len(clone_idx)), "split": int(len(split_idx)),
-        "pruned": int(prune.sum()), "alive": int(alive.sum()),
+        "pruned": int(prune.sum()),
+        "dropped_children": dropped_children,
+        "alive": int(alive.sum()),
         "capacity": cap,
     }
     return new_params, new_opt_state, alive, report

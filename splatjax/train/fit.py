@@ -190,6 +190,7 @@ def fit(
     log_fn: Callable[[dict], None] = None,
     mesh=None,
     dp_axis: str = "dev",
+    band_axis: Optional[str] = None,
 ):
     """Optimize gaussians to match target images. Returns (params, history).
 
@@ -208,6 +209,18 @@ def fit(
     3DGS clone/split/prune between jitted steps (see train/densify.py);
     parameter arrays grow in capacity buckets so recompiles stay
     O(log growth).
+
+    Multi-chip training (BASELINE.json config 5 shapes):
+      * ``mesh=make_mesh(...)`` alone: view-level data parallelism —
+        parameters replicated, one view per device, grads psum'd.
+      * ``mesh=make_mesh_2d((v, b), ("view", "band")), dp_axis="view",
+        band_axis="band"``: the composed 2-D step — gaussians SHARDED over
+        the band axis (for scenes that don't fit one device), views
+        data-parallel over the other; routes to
+        parallel.dist_train.make_dp_band_train_step. Gaussian count must
+        divide the band-axis size (densify's 1024-aligned buckets keep
+        this true for power-of-two band sizes); per-step capacity drop
+        counts are surfaced in history records as ``drops``.
     """
     import numpy as np
 
@@ -223,6 +236,19 @@ def fit(
 
     def build_step(n):
         capacity = cfg.capacity or default_capacity(n)
+        if mesh is not None and band_axis is not None:
+            from splatjax.parallel.dist_train import make_dp_band_train_step
+
+            d_band = mesh.shape[band_axis]
+            if n % d_band:
+                raise ValueError(
+                    f"gaussian count {n} must divide the band-axis size "
+                    f"{d_band} (pad the scene or pick a bucket-aligned N)"
+                )
+            return make_dp_band_train_step(
+                cameras, cfg, mesh, view_axis=dp_axis, band_axis=band_axis,
+                capacity=cfg.capacity,
+            )
         if mesh is not None:
             return make_dp_train_step(
                 cameras, cfg, capacity, mesh, axis=dp_axis
@@ -257,17 +283,22 @@ def fit(
     targets = [jnp.asarray(t[..., :4], jnp.float32) for t in targets]
 
     history = []
+    drops = None
     t_start = time.time()
     for i in range(start_step, cfg.steps):
         if mesh is not None:
             # data-parallel: the next n_dp views round-robin, one per device
             vis = [(i * n_dp + j) % len(cameras) for j in range(n_dp)]
-            params, opt_state, loss, p, gnorm = step_fn(
+            out = step_fn(
                 params, opt_state,
                 jnp.stack([mvs[v] for v in vis]),
                 jnp.stack([projs[v] for v in vis]),
                 jnp.stack([targets[v] for v in vis]),
             )
+            if band_axis is not None:
+                params, opt_state, loss, p, gnorm, drops = out
+            else:
+                params, opt_state, loss, p, gnorm = out
         else:
             vi = i % len(cameras)
             params, opt_state, loss, p, gnorm = step_fn(
@@ -299,6 +330,8 @@ def fit(
                 "psnr": float(p),
                 "elapsed_s": time.time() - t_start,
             }
+            if drops is not None:
+                rec["drops"] = int(drops)
             history.append(rec)
             if log_fn is not None:
                 log_fn(rec)

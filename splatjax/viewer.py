@@ -88,7 +88,7 @@ class SplatRenderer:
         self._parts: list[GaussianScene] = []
         self._fed = 0  # splats parsed from feed() so far (capped)
         self._bins = None            # cached tile index (resort_interval>1)
-        self._bins_key = None        # (scene id, w, h) the cache is for
+        self._bins_key = None        # (scene OBJECT, w, h) the cache is for
         self._frames_since_sort = 0
         if self.src is not None:
             # streamed load with progress reporting, exactly like the
@@ -192,10 +192,17 @@ class SplatRenderer:
         """
         from splatjax.render import bin_scene, render_binned
 
-        key = (id(self.scene), camera.width, camera.height)
+        # The key holds the scene OBJECT (compared with `is`), not id():
+        # CPython recycles ids, so a freed-then-reallocated scene could
+        # silently reuse stale bins — holding the reference pins the id.
+        # feed()/_materialize() always build a NEW GaussianScene, so any
+        # scene mutation through the API changes identity.
+        key = (self.scene, camera.width, camera.height)
         if (
             self._bins is None
-            or self._bins_key != key
+            or self._bins_key is None
+            or self._bins_key[0] is not key[0]
+            or self._bins_key[1:] != key[1:]
             or self._frames_since_sort >= self.resort_interval
         ):
             self._bins = bin_scene(

@@ -259,7 +259,7 @@ def test_dp_band_train_step_matches_mean_loss_single_chip():
         capacity=2048,
     )
     opt_state = opt.init(params)
-    p_2d, _, loss_2d, _ = step(
+    p_2d, _, loss_2d, _, gnorm_2d, drops_2d = step(
         params, opt_state,
         jnp.stack([c.modelview for c in cams]),
         jnp.stack([c.projection for c in cams]),
@@ -283,6 +283,13 @@ def test_dp_band_train_step_matches_mean_loss_single_chip():
     p_ref = optax.apply_updates(params, upd)
 
     assert abs(float(loss_2d) - float(loss_ref)) < 2e-4
+    # densify signal + drop counter surfaced by the 2-D step
+    assert gnorm_2d.shape == (params.means.shape[0],)
+    assert int(drops_2d) == 0
+    g_ref = np.linalg.norm(np.asarray(grads.means), axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(gnorm_2d), g_ref, rtol=2e-2, atol=1e-7
+    )
     # The band pipeline re-orders f32 math (band-local coordinates, tiled
     # assembly), so gradients differ at ~1e-3 relative and Adam maps that
     # to O(lr * eps) parameter wobble: require the UPDATE VECTORS to agree
@@ -320,3 +327,82 @@ def test_sharded_render_with_sh_matches_single_chip():
     img_s = np.asarray(render_sharded(scene, cam, mesh, early_stop=0.0))
     img_1 = np.asarray(render(scene, cam, early_stop=0.0))
     assert np.abs(img_s - img_1).max() < 1e-4
+
+
+def test_max_bands_span_exact_per_band_drop_accounting():
+    """A splat spanning all 8 bands (> MAX_BANDS = 4) keeps the MAX_BANDS
+    window CENTERED on its mean's band, and the cut bands each report
+    exactly one dropped instance (round-2 verdict: drops used to be
+    spread as span_drop // n_dev across all bands)."""
+    from splatjax.parallel.dist_render import MAX_BANDS
+    from splatjax.scene import GaussianScene
+
+    assert MAX_BANDS == 4  # expectations below are for the default
+    n = 8
+    h = 8 * 16  # 8 devices x one 16-px tile row each
+    # 7 tiny splats + one huge one at the view center whose projected
+    # bbox covers the full image height (span = 8 bands)
+    means = np.zeros((n, 3), np.float32)
+    means[:7, 0] = np.linspace(-0.5, 0.5, 7)
+    scales = np.full((n, 3), 0.01, np.float32)
+    scales[7] = 5.0
+    quats = np.tile(np.asarray([[1, 0, 0, 0]], np.float32), (n, 1))
+    colors = np.full((n, 3), 0.5, np.float32)
+    opac = np.full((n,), 0.9, np.float32)
+    scene = GaussianScene(
+        means=means, scales=scales, quats=quats, colors=colors,
+        opacities=opac, sh=None,
+    )
+    cam = make_camera((0, 0, 2.2), (0, 0, 0), width=64, height=h)
+    mesh = make_mesh(8)
+    img, overflow = render_sharded(
+        scene, cam, mesh, early_stop=0.0, return_overflow=True
+    )
+    overflow = np.asarray(overflow)
+    # mean band = 4 (y = 64 px, y-up), window [3, 7) kept, bands
+    # 0, 1, 2, 7 each lose exactly this one instance
+    np.testing.assert_array_equal(overflow, [1, 1, 1, 0, 0, 0, 0, 1])
+    # the kept window includes the densest band: the huge splat still
+    # renders at the image center rows
+    img = np.asarray(img)
+    assert img[h // 2, 32, 3] > 0.1
+
+
+def test_fit_routes_to_composed_2d_mesh():
+    """Config-5-shaped training must be reachable from the USER-FACING
+    fit() entry: fit(mesh=2d, dp_axis=view, band_axis=band) routes to
+    make_dp_band_train_step, reduces the loss, and surfaces per-step
+    drop counters in the history records."""
+    from splatjax.parallel import make_mesh_2d
+    from splatjax.train import FitConfig, fit
+
+    scene, _ = _setup(n=64, seed=171)
+    cams = [
+        make_camera((0.3 * i - 0.3, 0.1, 2.1), (0, 0, 0),
+                    width=48, height=32)
+        for i in range(2)
+    ]
+    targets = [render(scene, c, early_stop=0.0) for c in cams]
+    init = TrainableGaussians.from_scene(
+        synthetic_scene(64, seed=172, extent=0.6,
+                        scale_range=(0.03, 0.08))
+    )
+    mesh = make_mesh_2d((2, 4), axis_names=("view", "band"))
+    params, hist = fit(
+        init, cams, targets,
+        FitConfig(steps=8, log_every=2, capacity=2048, lr_means=2e-3),
+        mesh=mesh, dp_axis="view", band_axis="band",
+    )
+    assert hist[0]["loss"] > hist[-1]["loss"], hist
+    assert all("drops" in h for h in hist)
+    assert hist[-1]["drops"] == 0
+
+    # gaussian counts that don't divide the band axis are rejected loudly
+    bad = TrainableGaussians.from_scene(
+        synthetic_scene(63, seed=173, extent=0.6)
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="band-axis"):
+        fit(bad, cams, targets, FitConfig(steps=1, capacity=2048),
+            mesh=mesh, dp_axis="view", band_axis="band")

@@ -56,3 +56,23 @@ def test_splat_renderer_resort_cache_invalidated_on_viewport_change():
     b = np.asarray(r.render(cam_small))
     assert a.shape == (48, 64, 4) and b.shape == (24, 32, 4)
     assert np.all(np.isfinite(b))
+
+
+def test_splat_renderer_resort_cache_invalidated_on_scene_mutation():
+    """feed()ing more splats mid-sequence must invalidate the cached tile
+    index immediately (round-2 verdict: the cache was keyed on id(scene),
+    which CPython can recycle; it now holds the scene object itself)."""
+    from splatjax.io.splat_format import scene_to_splat_bytes
+
+    scene, cam = _setup()
+    extra = synthetic_scene(40, seed=10, extent=0.4,
+                            scale_range=(0.05, 0.12))
+    r = SplatRenderer(scene=scene, resort_interval=10)
+    before = np.asarray(r.render(cam))
+
+    r.feed(scene_to_splat_bytes(extra))
+    after = np.asarray(r.render(cam))  # must NOT reuse the stale bins
+    combined = SplatRenderer(scene=r.scene)
+    fresh = np.asarray(combined.render(cam))
+    np.testing.assert_allclose(after, fresh, atol=5e-5)
+    assert np.abs(after - before).max() > 1e-3  # new splats visible

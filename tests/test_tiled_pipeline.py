@@ -313,3 +313,47 @@ def test_early_stop_opaque_wall_ring_drain():
     exact = np.asarray(render(scene, cam, early_stop=0.0))
     fast = np.asarray(render(scene, cam, early_stop=1e-3))
     assert np.abs(exact - fast).max() < 2e-3
+
+
+def test_alpha_clip_rounding_to_one_stays_finite():
+    """Regression (round-2 advisor): alpha_clip values whose f32 rounding
+    is exactly 1.0 (e.g. 1 - 1e-8) must NOT skip the alpha==1 guards —
+    the kernel clips in f32, so such a clip does not bound alpha and an
+    opaque fragment would otherwise feed log1p(-1) = -inf into the MXU
+    scan (NaN-poisoning the chunk) and divide by 1-alpha == 0 in the
+    backward."""
+    from splatjax.ops.binning import FEAT_DIM
+    from splatjax.ops.rasterize import clip_bounds_alpha
+    from splatjax.ops.rasterize_vjp import rasterize_tiles
+
+    assert not clip_bounds_alpha(1.0 - 1e-8)   # rounds to 1.0f
+    assert clip_bounds_alpha(1.0 - 2e-7)       # representable below 1
+    assert not clip_bounds_alpha(None)
+
+    cfg = TileConfig(16, 16, 16, 16)  # one tile
+    k = 4
+    feat = np.zeros((FEAT_DIM, k), np.float32)
+    feat[0] = 8.5          # mean exactly at a pixel center -> power == 0
+    feat[1] = 8.5
+    feat[2] = 1.0          # conic a
+    feat[4] = 1.0          # conic c
+    feat[5:8] = 0.7        # color
+    feat[8] = 1.0          # opacity 1.0 -> alpha reaches exactly 1.0
+    feat[9] = -2.0         # depth
+    starts = jnp.zeros((1,), jnp.int32)
+    ends = jnp.full((1,), k, jnp.int32)
+
+    for clip in (1.0 - 1e-8, 1.0 - 2e-7):
+        def f(ft):
+            out, _ = rasterize_tiles(
+                ft, starts, ends, cfg, clip, 0.0
+            )
+            return jnp.sum(out[..., :4]), out
+
+        (s, out), g = jax.value_and_grad(f, has_aux=True)(jnp.asarray(feat))
+        assert np.isfinite(np.asarray(out)).all(), clip
+        assert np.isfinite(np.asarray(g)).all(), clip
+        # at the covered pixel (8.5, 8.5) the opaque splats drive
+        # transmittance to ~0 (exactly 0 when the clip rounds to 1.0)
+        t_final = np.asarray(out)[0, 8 * 16 + 8, 3]
+        assert t_final <= 1e-6, (clip, t_final)

@@ -153,3 +153,54 @@ def test_densification_beats_fixed_capacity():
     p_dense = float(psnr(render(dense.to_scene(), cams[0]), targets[0]))
     assert dense.means.shape[0] > base.means.shape[0]
     assert p_dense > p_base + 5.0, (p_base, p_dense)
+
+
+def test_densify_budget_saturation_keeps_coverage():
+    """At the max_gaussians boundary, a densify pass must never DECREASE
+    the alive count absent pruning (round-2 verdict: split parents used to
+    die unconditionally while their children were truncated away), and
+    children that didn't fit must be reported, not silently dropped."""
+    from splatjax.train import DensifyConfig
+    from splatjax.train.densify import densify_and_prune
+    from splatjax.train.fit import _optimizer
+
+    n = 8
+    params = init_random(n, jax.random.PRNGKey(8), initial_scale=0.1)
+    # every gaussian: opaque (no pruning) and large (split candidate)
+    params = TrainableGaussians(
+        means=params.means,
+        log_scales=params.log_scales,
+        quats=params.quats,
+        logit_opacities=jnp.full((n,), 3.0, jnp.float32),
+        colors=params.colors,
+    )
+    opt = _optimizer(FitConfig())
+    grad_sum = np.full((n,), 1.0)
+    grad_cnt = np.ones((n,), np.int64)
+    rng = np.random.default_rng(0)
+
+    # budget 1 < 2 children: NO split fits -> nothing changes
+    cfg = DensifyConfig(grad_threshold=1e-6, split_scale=0.05,
+                        max_gaussians=n + 1)
+    p2, _, alive2, rep = densify_and_prune(
+        params, opt.init(params), grad_sum, grad_cnt,
+        np.ones((n,), bool), cfg, rng,
+    )
+    assert rep["alive"] == n            # never below the starting count
+    assert rep["split"] == 0
+    assert rep["dropped_children"] == 2 * n
+    np.testing.assert_array_equal(
+        np.asarray(p2.logit_opacities), np.asarray(params.logit_opacities)
+    )  # no parent was killed
+
+    # budget 3 -> exactly ONE split placed (2 children, parent dies): +1
+    cfg = DensifyConfig(grad_threshold=1e-6, split_scale=0.05,
+                        max_gaussians=n + 3)
+    p3, _, alive3, rep3 = densify_and_prune(
+        params, opt.init(params), grad_sum, grad_cnt,
+        np.ones((n,), bool), cfg, rng,
+    )
+    assert rep3["split"] == 1
+    assert rep3["alive"] == n + 1
+    assert rep3["dropped_children"] == 2 * n - 2
+    assert int(alive3.sum()) == n + 1
