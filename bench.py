@@ -43,12 +43,13 @@ def main():
     # 20 samples keeps the median's noise ~1-2 ms
     iters = int(os.environ.get("SPLATJAX_BENCH_ITERS", 20))
 
-    # scale_range tuned so a 1M scene lands ~3-4 duplicated instances per
-    # splat at 1080p (train.splat-like screen footprints). With
-    # SPLATJAX_BENCH_SRC=trained the in-repo trained fixture (real 3DGS
-    # optimization statistics: anisotropic covariances, optimizer-shaped
-    # opacities) is tiled with jittered offsets up to n splats instead.
-    src = os.environ.get("SPLATJAX_BENCH_SRC", "synthetic")
+    # Default source is the in-repo TRAINED fixture (real 3DGS optimization
+    # statistics: anisotropic covariances, optimizer-shaped opacities),
+    # tiled with jittered offsets up to n splats — realistic splat
+    # statistics rather than the synthetic isotropic cloud
+    # (SPLATJAX_BENCH_SRC=synthetic for the round-1/2 scene; scale_range
+    # there tuned for ~3-4 duplicated instances per splat at 1080p).
+    src = os.environ.get("SPLATJAX_BENCH_SRC", "trained")
     if src == "synthetic":
         scene = synthetic_scene(
             n, seed=7, extent=1.0, scale_range=(0.002, 0.008)
@@ -85,22 +86,41 @@ def main():
     kwargs = dict(capacity=capacity, alpha_clip=0.999, early_stop=1e-4)
 
     def fwd(p):
+        # viewer metric: the DEFAULT full-precision (32-byte-row) path
         return render(p.to_scene(), cam, **kwargs)
 
-    grad_fn = jax.jit(jax.grad(lambda p: jnp.sum(fwd(p) ** 2)))
+    def fwd_train(p):
+        # training configuration: 16-byte packed rows + fast fragment
+        # math, the FitConfig default (train/fit.py)
+        return render(p.to_scene(), cam, feature_bytes=16, **kwargs)
+
+    grad_fn = jax.jit(jax.grad(lambda p: jnp.sum(fwd_train(p) ** 2)))
     fwd_fn = jax.jit(lambda p: fwd(p))
 
-    # correctness gate before timing anything: a small scene must match the
-    # differentiable ground-truth rasterizer ON THIS BACKEND. Guards against
-    # hardware-only kernel bugs that CPU interpret-mode tests cannot see
-    # (e.g. the MXU's default-precision bf16 rounding of one-hot matmuls,
-    # which silently corrupted binning on v5e until round 2).
+    # correctness gates before timing anything — ON THIS BACKEND (guards
+    # against hardware-only kernel bugs CPU interpret-mode tests cannot
+    # see, e.g. the MXU's default-precision bf16 rounding of one-hot
+    # matmuls, which silently corrupted binning on v5e until round 2):
+    # 1. the default path must match the differentiable ground-truth
+    #    rasterizer within the 1e-3 north-star budget;
+    # 2. the 16-byte training path must stay >= 40 dB PSNR of the exact
+    #    render (its documented quantization floor), so the train-step
+    #    timing below is measured on verified-sane output.
     from splatjax.reference import render_reference  # noqa: E402
     _s = synthetic_scene(2000, seed=5, extent=0.7, scale_range=(0.01, 0.05))
     _c = make_camera((0.1, -0.2, 2.4), (0, 0, 0), width=192, height=128)
     _img = np.asarray(render(_s, _c, early_stop=0.0, alpha_clip=None))
     _err = float(np.abs(_img - np.asarray(render_reference(_s, _c))).max())
     assert _err < 1e-3, f"device parity check failed: max err {_err}"
+    _img32c = np.asarray(
+        render(_s, _c, early_stop=0.0, alpha_clip=0.999, feature_bytes=32)
+    )
+    _img16 = np.asarray(
+        render(_s, _c, early_stop=0.0, alpha_clip=0.999, feature_bytes=16)
+    )
+    _mse = float(np.mean((_img16 - _img32c) ** 2))
+    _psnr16 = 10.0 * np.log10(1.0 / max(_mse, 1e-12))
+    assert _psnr16 >= 40.0, f"16-byte path degraded: {_psnr16:.1f} dB"
 
     img, ov = render(scene, cam, return_overflow=True, **kwargs)
     jax.block_until_ready(img)
@@ -136,8 +156,25 @@ def main():
             times.append((time.perf_counter() - t0 - rtt) / j)
         return max(float(np.median(times)), 1e-6)
 
+    # interactive-viewer redraw: cached tile index (the reference's
+    # stale-order semantics, index.js:439-453) + 16-byte rows — the
+    # quality/speed configuration an interactive viewer would run
+    from splatjax.render import bin_scene, render_binned  # noqa: E402
+
+    scene_r = jax.device_put(params.to_scene())
+    bins = bin_scene(scene_r, cam, capacity=capacity)
+    jax.block_until_ready(bins.gauss_id)
+
+    def redraw_fn(s):
+        # render_binned dispatches one cached jit program per call
+        return render_binned(
+            s, cam, bins, alpha_clip=0.999, early_stop=1e-4,
+            feature_bytes=16,
+        )
+
     t_fwd = timeit(fwd_fn, params)
     t_fwdbwd = timeit(grad_fn, params)
+    t_redraw = timeit(redraw_fn, scene_r)
 
     mpix = width * height / 1e6
     fwd_fps = 1.0 / t_fwd
@@ -151,6 +188,10 @@ def main():
         "fwd_ms": round(t_fwd * 1e3, 2),
         "fwd_bwd_ms": round(t_fwdbwd * 1e3, 2),
         "fwd_fps": round(fwd_fps, 1),
+        "redraw_ms": round(t_redraw * 1e3, 2),
+        "redraw_fps": round(1.0 / t_redraw, 1),
+        "train_feature_bytes": 16,
+        "psnr16_db": round(_psnr16, 1),
         "overflow": overflow,
         "device": str(jax.devices()[0]),
     }

@@ -49,24 +49,31 @@ def _sync(x):
 
 
 def _timer(iters):
-    tiny = jax.jit(lambda x: x + 1.0)
-    t = jax.device_put(jnp.zeros((8, 128)))
-    _sync(tiny(t))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        _sync(tiny(t))
-    rtt = (time.perf_counter() - t0) / 5
+    """Two-batch-size timing: wall(j) = overhead + j * device_ms, so
+    device_ms = (wall(j2) - wall(j1)) / (j2 - j1) and the tunnel's
+    per-sync overhead cancels EXACTLY — no ping-based RTT estimate.
+    (A tiny-program ping measures a different, larger latency than the
+    dispatch-pipeline overhead of real calls: subtracting it zeroed
+    whole stages on the current tunnel.)
+    """
+    j1, j2 = 2, 2 + max(iters, 4)
 
     def timeit(f, *a):
         _sync(f(*a))  # warm / compile
-        ts = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            _sync(f(*a))
-            ts.append(time.perf_counter() - t0 - rtt)
-        # sub-RTT stages can go slightly negative after the tunnel
-        # round-trip subtraction; clamp — they are "too small to measure"
-        return round(max(float(np.median(ts)), 0.0) * 1e3, 2)
+
+        def wall(j):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(j):
+                    out = f(*a)
+                _sync(out)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        w1, w2 = wall(j1), wall(j2)
+        return round(max((w2 - w1) / (j2 - j1), 0.0) * 1e3, 2)
 
     return timeit
 
@@ -77,6 +84,8 @@ def main():
     ap.add_argument("--res", default="1920x1080")
     ap.add_argument("--cap", type=int, default=0, help="0 = 3n")
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--fb", type=int, default=32, choices=(16, 32),
+                    help="packed feature row bytes (16 = training rows)")
     args = ap.parse_args()
 
     w, h = (int(v) for v in args.res.split("x"))
@@ -114,7 +123,7 @@ def main():
     def _rast(feat_n, b):
         out, _ = rasterize_gathered(
             feat_n, b[0], b[1], b[2], b[3], b[4], b[5], b[6], b[7], b[8],
-            None, cfg, 0.999, 1e-4,
+            None, cfg, 0.999, 1e-4, args.fb == 16,
         )
         return out
 
@@ -149,6 +158,7 @@ def main():
     result = {
         "n": args.n,
         "res": args.res,
+        "feature_bytes": args.fb,
         "capacity": cap,
         "overflow": int(b[8]),
         "proj_ms": timeit(stage_proj, *arrs),

@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--res", default="1920x1080")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--out", default="/tmp/jaxtrace-pipe")
+    ap.add_argument("--fb", type=int, default=32, choices=(16, 32))
     args = ap.parse_args()
 
     w, h = (int(v) for v in args.res.split("x"))
@@ -64,7 +65,7 @@ def main():
         out, _ = rasterize_gathered(
             features_from_projection(proj), b.gauss_id, b.starts, b.ends,
             b.cum, b.count, b.perm, b.cum_d, b.count_d, b.overflow,
-            None, cfg, 0.999, 1e-4,
+            None, cfg, 0.999, 1e-4, args.fb == 16,
         )
         return out
 
@@ -81,7 +82,7 @@ def main():
             out, _ = rasterize_gathered(
                 features_from_projection(proj), b.gauss_id, b.starts,
                 b.ends, b.cum, b.count, b.perm, b.cum_d, b.count_d,
-                b.overflow, None, cfg, 0.999, 1e-4,
+                b.overflow, None, cfg, 0.999, 1e-4, args.fb == 16,
             )
             return jnp.sum(out[:, :, :4] ** 2)
         return jax.grad(loss)((means, scales))

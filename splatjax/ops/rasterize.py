@@ -65,6 +65,100 @@ PACKED_ROWS = 8
 # segment-sum windows.
 FEAT_PAD = 16
 
+# ---- 16-byte training rows (PACKED16_ROWS = 4 int32 lanes) --------------
+# The post-sort feature gather and the kernel ring DMAs are HBM-bound: at
+# 3M instances the 32 B rows cost ~14 ms of gather alone. Training needs
+# far less precision than the viewer-parity path, so the default training
+# row is 16 B (the reference itself renders from int16-quantized
+# covariance + RGBA8 color textures, index.js:384-394 — precision dieting
+# is reference-sanctioned):
+#
+#   lane 0: mean2d fixed-point  (mx_u16 << 16) | my_u16,  1/8 px steps,
+#           bias +2048 px -> covers [-2048, 6144) px: every legal mean
+#           (bbox_half <= 2048 from the 1024 eigen-axis cap, width <= 4080
+#           from the tile-coordinate bound) is in range; max round error
+#           1/16 px.
+#   lane 1: (conic.a bf16 << 16) | conic.b bf16
+#   lane 2: (conic.c bf16 << 16) | opacity u16       (1/65535 steps)
+#   lane 3: (r_u8 << 24) | (g_u8 << 16) | (b_u8 << 8)  (RGBA8-equivalent)
+#
+# No depth lane: expected-depth output and z-buffer occlusion require the
+# 32 B rows (render(feature_bytes=...) resolves this automatically).
+# Worst-case image error (bf16 conic: |power| * 2^-9 <= 8e-3 of power;
+# mean: slope sqrt(8*conic_max) * 1/16 px) stays inside the 1e-3 parity
+# budget on real splat statistics — enforced by the on-device gate in
+# bench.py and tests/test_tiled_pipeline.py.
+PACKED16_ROWS = 4
+MEAN16_STEP = 0.125          # px per fixed-point unit
+MEAN16_BIAS = 2048.0         # px
+
+
+def _bf16_bits_hi(x: Array) -> Array:
+    """f32 -> int32 with the value's bf16 bit pattern in the HIGH half."""
+    u = jax.lax.bitcast_convert_type(
+        x.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return (u << 16).astype(jnp.int32)
+
+
+def pack_feature_table16(feat_n: Array) -> Array:
+    """Unpacked (N, >=9) f32 per-gaussian features -> packed (N, 4) int32
+    16-byte training rows (row-major gather source)."""
+    mxq = jnp.clip(
+        jnp.floor((feat_n[:, 0] + MEAN16_BIAS) * (1.0 / MEAN16_STEP) + 0.5),
+        0.0, 65535.0,
+    ).astype(jnp.int32)
+    myq = jnp.clip(
+        jnp.floor((feat_n[:, 1] + MEAN16_BIAS) * (1.0 / MEAN16_STEP) + 0.5),
+        0.0, 65535.0,
+    ).astype(jnp.int32)
+    ca = _bf16_bits_hi(feat_n[:, 2])
+    cb = _bf16_bits_hi(feat_n[:, 3])
+    cc = _bf16_bits_hi(feat_n[:, 4])
+    r8 = jnp.floor(
+        jnp.clip(feat_n[:, 5], 0.0, 1.0) * 255.0 + 0.5
+    ).astype(jnp.int32)
+    g8 = jnp.floor(
+        jnp.clip(feat_n[:, 6], 0.0, 1.0) * 255.0 + 0.5
+    ).astype(jnp.int32)
+    b8 = jnp.floor(
+        jnp.clip(feat_n[:, 7], 0.0, 1.0) * 255.0 + 0.5
+    ).astype(jnp.int32)
+    opa = _quant16(feat_n[:, 8])
+    lane0 = (mxq << 16) | myq
+    lane1 = ca | ((cb >> 16) & 0xFFFF)
+    lane2 = cc | opa
+    lane3 = (r8 << 24) | (g8 << 16) | (b8 << 8)
+    return jnp.stack([lane0, lane1, lane2, lane3], axis=1)
+
+
+def unpack_chunk16(chunk_i32: Array):
+    """Packed (4, C) int32 16-byte rows -> tuple of (1, C) f32 feature rows
+    (mx, my, ca, cb, cc, r, g, b, opa, depth==0).
+
+    bf16 decode is one mask/shift + int32->f32 bitcast (a bf16 value's f32
+    bit pattern IS its 16 bits shifted high) — no 16-bit lane types in the
+    kernel."""
+    l0 = chunk_i32[0:1, :]
+    l1 = chunk_i32[1:2, :]
+    l2 = chunk_i32[2:3, :]
+    l3 = chunk_i32[3:4, :]
+    hi_mask = jnp.int32(-65536)  # 0xFFFF0000
+    mx = (
+        jnp.right_shift(l0, 16) & 0xFFFF
+    ).astype(jnp.float32) * MEAN16_STEP - MEAN16_BIAS
+    my = (l0 & 0xFFFF).astype(jnp.float32) * MEAN16_STEP - MEAN16_BIAS
+    ca = jax.lax.bitcast_convert_type(l1 & hi_mask, jnp.float32)
+    cb = jax.lax.bitcast_convert_type(jnp.left_shift(l1, 16), jnp.float32)
+    cc = jax.lax.bitcast_convert_type(l2 & hi_mask, jnp.float32)
+    opa = (l2 & 0xFFFF).astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
+    inv255 = jnp.float32(1.0 / 255.0)
+    r = (jnp.right_shift(l3, 24) & 255).astype(jnp.float32) * inv255
+    g = (jnp.right_shift(l3, 16) & 255).astype(jnp.float32) * inv255
+    b = (jnp.right_shift(l3, 8) & 255).astype(jnp.float32) * inv255
+    depth = jnp.zeros_like(mx)
+    return (mx, my, ca, cb, cc, r, g, b, opa, depth)
+
 
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
@@ -198,10 +292,11 @@ def gather_chunk_major(table_pk: Array, gid: Array) -> Array:
     overflow; the old zero rows relied on the same property).
     """
     k = gid.shape[0]
+    n_rows = table_pk.shape[1]                            # 8 or 4 lanes
     k_pad = -(-(k + CHUNK) // BLK) * BLK
     gid_p = jnp.pad(gid, (0, k_pad - k))
-    rows = table_pk[gid_p]                                # (K_pad, 8)
-    return rows.reshape(k_pad // CHUNK, CHUNK, PACKED_ROWS).transpose(0, 2, 1)
+    rows = table_pk[gid_p]                                # (K_pad, n_rows)
+    return rows.reshape(k_pad // CHUNK, CHUNK, n_rows).transpose(0, 2, 1)
 
 
 def _pixel_grids(cfg: TileConfig, tile_idx):
@@ -245,7 +340,7 @@ def _tri_mask(cols: int, suffix: bool, strict: bool = False):
     return keep.astype(jnp.bfloat16)  # 0/1 is bf16-exact
 
 
-def _tri_cumsum(x, mask):
+def _tri_cumsum(x, mask, fast: bool = False):
     """Inclusive lane cumsum of (P, C) f32 x against a precomputed (C, C)
     triangular 0/1 bf16 mask (see :func:`_tri_mask`) on the MXU.
 
@@ -255,13 +350,21 @@ def _tri_cumsum(x, mask):
     bf16 rounding survives — per-term error <= 2^-18 |x|, i.e. summed
     log-transmittance error <~ 2^-18 * sum|log(1-a)|, orders of magnitude
     inside the 1e-3 viewer-parity budget.
+
+    ``fast`` (the 16-byte-row training mode) drops the lo residual: ONE
+    bf16 pass, per-term error 2^-9 |x| — summed log-transmittance error
+    <= 2^-9 * sum|log(1-a)| <= ~2% relative T in the deepest visible
+    stacks (|log T| <= 9.2 at the 1e-4 early stop), below the training
+    rows' own quantization floor.
     """
     hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     dims = (((1,), (0,)), ((), ()))
     out = jax.lax.dot_general(
         hi, mask, dims, preferred_element_type=jnp.float32
     )
+    if fast:
+        return out
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return out + jax.lax.dot_general(
         lo, mask, dims, preferred_element_type=jnp.float32
     )
@@ -303,6 +406,15 @@ def _power_basis(pxl, pyl):
     )
 
 
+def _split_basis(basis6):
+    """Pre-split the (P, 6) basis into bf16 hi + lo residual ONCE per tile
+    program, for the fast-mode 3-pass power matmul in :func:`_chunk_alpha`
+    (the split is loop-invariant; doing it per chunk would waste VPU)."""
+    bh = basis6.astype(jnp.bfloat16)
+    bl = (basis6 - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return bh, bl
+
+
 def _chunk_alpha(chunk, basis6, ox, oy, kidx, start, end, alpha_clip,
                  zb=None):
     """Alpha matrix (P, CHUNK) for one packed feature chunk at tile pixels.
@@ -323,9 +435,13 @@ def _chunk_alpha(chunk, basis6, ox, oy, kidx, start, end, alpha_clip,
     ~1e7 and the error past the budget; never switch this to global px.
 
     Returns (alpha, rows, in_range) with rows the unpacked feature tuple
-    from :func:`unpack_chunk`.
+    from :func:`unpack_chunk` (32 B rows) or :func:`unpack_chunk16`
+    (16 B training rows — selected by the chunk's lane count).
     """
-    rows = unpack_chunk(chunk)
+    rows = (
+        unpack_chunk(chunk) if chunk.shape[0] == PACKED_ROWS
+        else unpack_chunk16(chunk)
+    )
     mxl = rows[0] - ox                     # (1, CHUNK) tile-local mean
     myl = rows[1] - oy
     ca, cb, cc = rows[2], rows[3], rows[4]
@@ -341,11 +457,30 @@ def _chunk_alpha(chunk, basis6, ox, oy, kidx, start, end, alpha_clip,
         ],
         axis=0,
     )                                      # (6, CHUNK)
-    power = jax.lax.dot_general(
-        basis6, coef, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )                                      # (P, CHUNK)
+    dims = (((1,), (0,)), ((), ()))
+    if isinstance(basis6, tuple):
+        # fast mode (16-byte training rows): 3-pass hi/lo split against
+        # the pre-split basis (:func:`_split_basis`) instead of
+        # Precision.HIGHEST's 6 passes. Dropped bl@cl term ~2^-18 |term|;
+        # residual rounding <= 2^-18 * 1.2e3 ~ 5e-3 absolute power — an
+        # order below the training rows' own mean-quantization error.
+        bh, bl = basis6
+        ch = coef.astype(jnp.bfloat16)
+        cl = (coef - ch.astype(jnp.float32)).astype(jnp.bfloat16)
+        power = (
+            jax.lax.dot_general(bh, ch, dims,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(bh, cl, dims,
+                                  preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(bl, ch, dims,
+                                  preferred_element_type=jnp.float32)
+        )                                  # (P, CHUNK)
+    else:
+        power = jax.lax.dot_general(
+            basis6, coef, dims,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                  # (P, CHUNK)
     in_range = (kidx >= start) & (kidx < end)
     # range masking rides the (1, CHUNK) opacity row, keeping the per-
     # fragment mask to the exp(-4) cutoff compare alone
@@ -385,6 +520,12 @@ def _fwd_kernel(
     ox = (t % cfg.tiles_x).astype(jnp.float32) * cfg.tile_w
     oy = (t // cfg.tiles_x).astype(jnp.float32) * cfg.tile_h
     basis6 = _power_basis(px - ox, py - oy)
+    # 16-byte training rows select the fast fragment math: pre-split-basis
+    # 3-pass power matmul, single-pass bf16 scans and accumulation — the
+    # rows' own quantization already floors the error above all of these
+    fast = ring.shape[1] == PACKED16_ROWS
+    if fast:
+        basis6 = _split_basis(basis6)
 
     def block_copy(bi):
         # clamped source keeps lookahead DMAs past the table in bounds
@@ -456,7 +597,7 @@ def _fwd_kernel(
         # triangular mask (no roll/select pass); the chunk-inclusive
         # total needed for the carry is recovered on the last lane only.
         s = _log_om(alpha, alpha_clip)                    # (P, CHUNK)
-        s_excl = _tri_cumsum(s, tri_pre)
+        s_excl = _tri_cumsum(s, tri_pre, fast)
         t_excl = jnp.exp(s_excl)                          # (P, CHUNK)
         w = alpha * t_excl                                # within-chunk only
         # rgb + expected-depth accumulation as ONE small MXU pass instead
@@ -467,11 +608,21 @@ def _fwd_kernel(
         colmat = jnp.concatenate(
             [rows[5], rows[6], rows[7], rows[9]], axis=0
         )                                                 # (4, CHUNK)
-        acc = acc + t_vec * jax.lax.dot_general(
-            w, colmat, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,  # full f32: parity at 1e-3
-            preferred_element_type=jnp.float32,
-        )                                                 # (P, 4)
+        if fast:
+            # single bf16 pass: error ~2^-9 * w * c <= 2e-3 absolute rgb,
+            # on par with the rows' RGBA8 color floor
+            contrib = jax.lax.dot_general(
+                w.astype(jnp.bfloat16), colmat.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            contrib = jax.lax.dot_general(
+                w, colmat, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,  # f32: parity at 1e-3
+                preferred_element_type=jnp.float32,
+            )
+        acc = acc + t_vec * contrib                       # (P, 4)
         # chunk-total log-transmittance = exclusive sum at the last lane
         # plus the last lane's own term — (P, 1) work only
         t_vec = t_vec * jnp.exp(
@@ -540,6 +691,12 @@ def rasterize_cm_fwd(
     """
     t_tiles = cfg.num_tiles
     p = cfg.pixels_per_tile
+    n_rows = feat_cm.shape[1]
+    if zbuf is not None and n_rows != PACKED_ROWS:
+        raise ValueError(
+            "z-buffer occlusion needs the 32-byte rows (16-byte training "
+            "rows carry no depth; use feature_bytes=32)"
+        )
     n_blocks = feat_cm.shape[0] // BLK_CHUNKS
     kernel = functools.partial(
         _fwd_kernel, cfg=cfg, alpha_clip=alpha_clip, early_stop=early_stop,
@@ -560,7 +717,7 @@ def rasterize_cm_fwd(
         out_specs=pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NRING * BLK_CHUNKS, PACKED_ROWS, CHUNK), jnp.int32),
+            pltpu.VMEM((NRING * BLK_CHUNKS, n_rows, CHUNK), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((NRING,)),
         ],

@@ -43,8 +43,10 @@ from splatjax.ops.binning import FEAT_DIM, TileConfig, segment_sum_by_gid
 from splatjax.ops.rasterize import (
     CHUNK,
     FEAT_PAD,
+    PACKED16_ROWS,
     PACKED_ROWS,
     _chunk_alpha,
+    _split_basis,
     clip_bounds_alpha,
     _lane_iota,
     _log_om,
@@ -58,6 +60,7 @@ from splatjax.ops.rasterize import (
     gather_chunk_major,
     pack_feature_rows,
     pack_feature_table,
+    pack_feature_table16,
     pad_chunk_major,
     pad_packed,
     rasterize_cm_fwd,
@@ -115,6 +118,10 @@ def _bwd_kernel(
     pxl = px - ox                        # (P, 1) in [0.5, tile_w)
     pyl = py - oy
     basis6 = _power_basis(pxl, pyl)      # (P, 6) — shared with _chunk_alpha
+    # 16-byte training rows -> fast fragment math (see the fwd kernel):
+    # split basis for the alpha matmul; single-pass bf16 reductions below
+    fast = feat_vmem.shape[1] == PACKED16_ROWS
+    basis_a = _split_basis(basis6) if fast else basis6
     cot4 = jnp.concatenate([g_r, g_g, g_b, g_d], axis=1)   # (P, 4)
     gtt = g_tf * t_final                 # (P, 1) hoisted out of the loop
 
@@ -198,7 +205,7 @@ def _bwd_kernel(
         chunk = feat_vmem[i % 2]
         kidx = _lane_iota(CHUNK) + base
         alpha, rows, in_range = _chunk_alpha(
-            chunk, basis6, ox, oy, kidx, start, end, alpha_clip, zb
+            chunk, basis_a, ox, oy, kidx, start, end, alpha_clip, zb
         )
         om = 1.0 - alpha
         # Per-instance transmittance recovered fully in LOG space:
@@ -208,7 +215,7 @@ def _bwd_kernel(
         # exp(-inf - s) is exactly 0). Absolute log error is ~eps * |s_q|,
         # i.e. only deeply-opaque stacks (T below any gradient threshold)
         # see more than ~1e-6 relative t_k error.
-        s_q = _tri_cumsum(_log_om(alpha, alpha_clip), tri_suf)
+        s_q = _tri_cumsum(_log_om(alpha, alpha_clip), tri_suf, fast)
         t_k = jnp.exp(lt_after - s_q)
 
         col_r, col_g, col_b = rows[5], rows[6], rows[7]
@@ -223,15 +230,22 @@ def _bwd_kernel(
         colmat4 = jnp.concatenate(
             [col_r, col_g, col_b, depth_row], axis=0
         )                                        # (4, CHUNK)
-        gdotc = jax.lax.dot_general(
-            cot4, colmat4, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )                                        # (P, CHUNK)
+        if fast:
+            gdotc = jax.lax.dot_general(
+                cot4.astype(jnp.bfloat16), colmat4.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                    # (P, CHUNK), ~2^-9 rel
+        else:
+            gdotc = jax.lax.dot_general(
+                cot4, colmat4, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )                                    # (P, CHUNK)
         tg = t_k * gdotc                         # (P, CHUNK)
         u = alpha * tg
         # EXCLUSIVE suffix cumsum straight from the strict mask
-        sx_loc = _tri_cumsum(u, tri_suf_strict)  # (P, CHUNK) on the MXU
+        sx_loc = _tri_cumsum(u, tri_suf_strict, fast)  # (P, CHUNK), MXU
         sx_u = sx_loc + s_u
         tot_u = sx_loc[:, 0:1] + u[:, 0:1]       # chunk-inclusive total
 
@@ -263,16 +277,43 @@ def _bwd_kernel(
         # ten sublane reduction trees. Raw pixel moments (tile-local) are
         # recombined into the centered moments sum(g_power * dx^a dy^b)
         # per instance afterwards — O(CHUNK) work instead of O(P*CHUNK).
-        mom = jax.lax.dot_general(
-            basis6, g_power, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )                                         # (6, CHUNK)
-        cw = jax.lax.dot_general(
-            cot4, w, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )                                         # (4, CHUNK)
+        if fast:
+            # Moments CANNOT run single-pass bf16: the centered-moment
+            # recombination below subtracts raw moments ~ (tile_w)^2 * s1
+            # to produce sums ~ sigma^2 * s1 — cancellation amplifies a
+            # 2^-9 rounding by up to (tile_w/sigma)^2. 3-pass hi/lo
+            # (pre-split basis from basis_a + per-chunk g_power split)
+            # keeps the per-term error at 2^-18 — <= 0.1% after the
+            # worst-case amplification. cw has no cancellation: one bf16
+            # pass (~2^-9 relative color/depth-grad noise) is fine.
+            bh, bl = basis_a
+            gh = g_power.astype(jnp.bfloat16)
+            gl = (g_power - gh.astype(jnp.float32)).astype(jnp.bfloat16)
+            dimsP = (((0,), (0,)), ((), ()))
+            mom = (
+                jax.lax.dot_general(bh, gh, dimsP,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(bh, gl, dimsP,
+                                      preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(bl, gh, dimsP,
+                                      preferred_element_type=jnp.float32)
+            )                                     # (6, CHUNK)
+            cw = jax.lax.dot_general(
+                cot4.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                     # (4, CHUNK)
+        else:
+            mom = jax.lax.dot_general(
+                basis6, g_power, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )                                     # (6, CHUNK)
+            cw = jax.lax.dot_general(
+                cot4, w, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )                                     # (4, CHUNK)
         s1 = mom[0:1]
         mxl = rows[0] - ox                        # tile-local mean (1, CHUNK)
         myl = rows[1] - oy
@@ -413,7 +454,7 @@ def _bwd_pallas(
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, PACKED_ROWS, CHUNK), jnp.int32),   # feat
+            pltpu.VMEM((2, feat_cm.shape[1], CHUNK), jnp.int32),  # feat
             pltpu.VMEM((2, FEAT_PAD, CHUNK), jnp.float32),    # g_new
             pltpu.VMEM((FEAT_PAD, CHUNK), jnp.float32),       # carry out
             pltpu.VMEM((FEAT_PAD, CHUNK), jnp.float32),       # carry in
@@ -483,7 +524,7 @@ def _bwd_rule(cfg, alpha_clip, early_stop, residuals, cotangents):
 rasterize_tiles.defvjp(_fwd_rule, _bwd_rule)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
 def rasterize_gathered(
     feat_n: Array,
     gid: Array,
@@ -499,6 +540,7 @@ def rasterize_gathered(
     cfg: TileConfig,
     alpha_clip: Optional[float] = None,
     early_stop: float = 1e-4,
+    packed16: bool = False,
 ):
     """Fused gather + rasterize with a single merged VJP.
 
@@ -513,11 +555,16 @@ def rasterize_gathered(
     (binning.features_from_projection). gid/starts/ends and the run
     residuals come from bin_gaussians(..., with_features=False).
     zbuf: optional (T, P, 1) camera-z buffer (opaque-geometry occlusion).
+    packed16: move instances as 16-byte training rows instead of the
+    32-byte viewer-parity rows (no depth channel; see
+    ops/rasterize.pack_feature_table16) — halves the dominant gather and
+    the kernels' ring DMA traffic.
     Returns (out_tiles (T, P, 8), chunks_done (T,)).
     """
-    # gathered (K, 8) rows go straight to the streaming chunk-major layout
-    # (one shuffle — same cost as the (8, K) transpose it replaces)
-    feat_cm = gather_chunk_major(pack_feature_table(feat_n), gid)
+    # gathered packed rows go straight to the streaming chunk-major layout
+    # (one shuffle — same cost as the transpose it replaces)
+    pack = pack_feature_table16 if packed16 else pack_feature_table
+    feat_cm = gather_chunk_major(pack(feat_n), gid)
     return rasterize_cm_fwd(
         feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
         early_stop=early_stop, zbuf=zbuf,
@@ -526,8 +573,9 @@ def rasterize_gathered(
 
 def _gathered_fwd_rule(feat_n, gid, starts, ends, cum, count, perm,
                        cum_d, count_d, overflow, zbuf,
-                       cfg, alpha_clip, early_stop):
-    feat_cm = gather_chunk_major(pack_feature_table(feat_n), gid)
+                       cfg, alpha_clip, early_stop, packed16):
+    pack = pack_feature_table16 if packed16 else pack_feature_table
+    feat_cm = gather_chunk_major(pack(feat_n), gid)
     out = rasterize_cm_fwd(
         feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
         early_stop=early_stop, zbuf=zbuf,
@@ -538,8 +586,9 @@ def _gathered_fwd_rule(feat_n, gid, starts, ends, cum, count, perm,
     return out, res
 
 
-def _gathered_bwd_rule(cfg, alpha_clip, early_stop, res, cotangents):
-    del early_stop
+def _gathered_bwd_rule(cfg, alpha_clip, early_stop, packed16, res,
+                       cotangents):
+    del early_stop, packed16
     (feat_cm, gid, starts, ends, cum, count, perm, cum_d, count_d,
      overflow, zbuf, out_tiles, chunks_done) = res
     g_out, _ = cotangents
@@ -592,7 +641,7 @@ def _image_cotangent_to_tiles(gimg, cfg: TileConfig, background):
     return jnp.concatenate([g_rgb, g_t[..., None]], axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
 def render_image_gathered(
     feat_n: Array,
     gid: Array,
@@ -609,6 +658,7 @@ def render_image_gathered(
     cfg: TileConfig,
     alpha_clip: Optional[float] = None,
     early_stop: float = 1e-4,
+    packed16: bool = False,
 ):
     """Fused gather + rasterize + image assembly with one custom VJP.
 
@@ -617,7 +667,8 @@ def render_image_gathered(
     backward builds the kernel's 4-channel cotangent from the image
     cotangent without the padded (T, P, 8) intermediate.
     """
-    feat_cm = gather_chunk_major(pack_feature_table(feat_n), gid)
+    pack = pack_feature_table16 if packed16 else pack_feature_table
+    feat_cm = gather_chunk_major(pack(feat_n), gid)
     out_tiles, _ = rasterize_cm_fwd(
         feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
         early_stop=early_stop, zbuf=zbuf,
@@ -627,8 +678,9 @@ def render_image_gathered(
 
 def _image_fwd_rule(feat_n, gid, starts, ends, cum, count, perm,
                     cum_d, count_d, overflow, background, zbuf,
-                    cfg, alpha_clip, early_stop):
-    feat_cm = gather_chunk_major(pack_feature_table(feat_n), gid)
+                    cfg, alpha_clip, early_stop, packed16):
+    pack = pack_feature_table16 if packed16 else pack_feature_table
+    feat_cm = gather_chunk_major(pack(feat_n), gid)
     out_tiles, chunks_done = rasterize_cm_fwd(
         feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
         early_stop=early_stop, zbuf=zbuf,
@@ -639,8 +691,8 @@ def _image_fwd_rule(feat_n, gid, starts, ends, cum, count, perm,
     return img, res
 
 
-def _image_bwd_rule(cfg, alpha_clip, early_stop, res, gimg):
-    del early_stop
+def _image_bwd_rule(cfg, alpha_clip, early_stop, packed16, res, gimg):
+    del early_stop, packed16
     (feat_cm, gid, starts, ends, cum, count, perm, cum_d, count_d,
      overflow, background, zbuf, out_tiles, chunks_done) = res
     g4 = _image_cotangent_to_tiles(gimg, cfg, background)

@@ -112,6 +112,7 @@ def _band_render_body(
     axis: AxisName, n_dev: int, width: int, height: int, band_h: int,
     cfg_band: TileConfig, pair_capacity: int, capacity: int,
     alpha_clip, early_stop: float, redistribute: str,
+    packed16: bool = False,
 ):
     """Per-device body of the band-sharded render (runs inside shard_map
     over ``axis``): local projection (incl. optional SH view-dependent
@@ -216,7 +217,7 @@ def _band_render_body(
         binned.gauss_id, binned.starts, binned.ends,
         binned.cum, binned.count, binned.perm,
         binned.cum_d, binned.count_d, binned.overflow,
-        None, cfg_band, alpha_clip, early_stop,
+        None, cfg_band, alpha_clip, early_stop, packed16,
     )
     # per-band total drop: local binning overflow + transfer drops
     # destined here from every source (psum'd)

@@ -95,6 +95,7 @@ def make_dp_band_train_step(
                 band_h=band_h, cfg_band=cfg_band, pair_capacity=pc,
                 capacity=cap, alpha_clip=alpha_clip,
                 early_stop=cfg.early_stop, redistribute=redistribute,
+                packed16=getattr(cfg, "feature_bytes", 32) == 16,
             )
             tiles_full = jax.lax.all_gather(
                 out_tiles, band_axis, axis=0, tiled=True

@@ -64,12 +64,42 @@ def resolve_alpha_clip(alpha_clip, viewer_exact: bool) -> Optional[float]:
     return alpha_clip
 
 
+def resolve_feature_bytes(
+    feature_bytes, viewer_exact: bool, needs_depth: bool
+) -> int:
+    """Resolve the packed instance-row width (ops/rasterize.py).
+
+    "auto" (default) = 32: full-precision rows, inside the 1e-3 viewer
+    parity budget. 16 selects the fixed-point/bf16/RGBA8 training rows —
+    ~2x cheaper on the dominant gather + kernel DMA traffic, with a
+    measured quantization error of ~1e-3 MEAN but up to ~3e-2 at the hard
+    edges of near-opaque splats (alpha-slope x 16-bit mean/conic steps) —
+    the training default (FitConfig.feature_bytes) and an explicit
+    speed/quality knob for interactive redraw, NOT a parity mode.
+    """
+    if isinstance(feature_bytes, str):
+        if feature_bytes != "auto":
+            raise ValueError(
+                f"feature_bytes must be 16, 32 or 'auto', got {feature_bytes!r}"
+            )
+        return 32
+    fb = int(feature_bytes)
+    if fb not in (16, 32):
+        raise ValueError(f"feature_bytes must be 16, 32 or 'auto', got {fb}")
+    if fb == 16 and (needs_depth or viewer_exact):
+        raise ValueError(
+            "feature_bytes=16 rows carry no depth channel and are not a "
+            "parity mode; use 32 with return_depth/zbuf/viewer_exact"
+        )
+    return fb
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "width", "height", "tile_size", "capacity",
         "alpha_clip", "early_stop", "viewer_exact", "exact_depth_sort",
-        "return_depth",
+        "return_depth", "feature_bytes",
     ),
 )
 def _render_impl(
@@ -85,6 +115,7 @@ def _render_impl(
     viewer_exact: bool,
     exact_depth_sort: bool,
     return_depth: bool,
+    feature_bytes: int = 32,
 ):
     cov3d = build_covariances(quats, scales)
     if viewer_exact:
@@ -111,7 +142,7 @@ def _render_impl(
             binned.gauss_id, binned.starts, binned.ends,
             binned.cum, binned.count, binned.perm, binned.cum_d,
             binned.count_d, binned.overflow, background, zbuf_tiles,
-            cfg, alpha_clip, early_stop,
+            cfg, alpha_clip, early_stop, feature_bytes == 16,
         )
         return img, None, binned.overflow
     out_tiles, _ = rasterize_gathered(
@@ -297,14 +328,14 @@ def _bin_impl(
     jax.jit,
     static_argnames=("width", "height", "tile_size",
                      "alpha_clip", "early_stop", "viewer_exact",
-                     "return_depth"),
+                     "return_depth", "feature_bytes"),
 )
 def _render_binned_impl(
     means, scales, quats, colors, opacities, sh,
     modelview, projection, cutout, background, zbuf, bins,
     *, width: int, height: int, tile_size: int,
     alpha_clip: Optional[float], early_stop: float, viewer_exact: bool,
-    return_depth: bool,
+    return_depth: bool, feature_bytes: int = 32,
 ):
     cov3d = build_covariances(quats, scales)
     if viewer_exact:
@@ -322,6 +353,7 @@ def _render_binned_impl(
         bins.gauss_id, bins.starts, bins.ends,
         bins.cum, bins.count, bins.perm, bins.cum_d, bins.count_d,
         bins.overflow, zbuf_tiles, cfg, alpha_clip, early_stop,
+        feature_bytes == 16,
     )
     img = tiles_to_image(out_tiles, cfg, background)
     depth = tiles_to_depth(out_tiles, cfg) if return_depth else None
@@ -377,6 +409,7 @@ def render_binned(
     background: Optional[Array] = None,
     zbuf: Optional[Array] = None,
     return_depth: bool = False,
+    feature_bytes="auto",
 ):
     """Render with a cached instance index from :func:`bin_scene`.
 
@@ -400,6 +433,10 @@ def render_binned(
         alpha_clip=resolve_alpha_clip(alpha_clip, viewer_exact),
         early_stop=early_stop, viewer_exact=viewer_exact,
         return_depth=return_depth,
+        feature_bytes=resolve_feature_bytes(
+            feature_bytes, viewer_exact,
+            needs_depth=return_depth or zbuf is not None,
+        ),
     )
     return (img, depth) if return_depth else img
 
@@ -420,6 +457,7 @@ def render(
     model: Optional[Array] = None,
     return_overflow: bool = False,
     return_depth: bool = False,
+    feature_bytes="auto",
 ):
     """Render a scene with the tiled TPU pipeline.
 
@@ -453,6 +491,14 @@ def render(
       model: optional (4, 4) object->world transform folded into the
         modelview exactly as the reference folds object.matrixWorld
         (index.js:467-487); see render_instances for multi-instance frames.
+      feature_bytes: packed width of the per-instance rows the kernels
+        move: 16 (fixed-point/bf16/RGBA8 training rows — halves the
+        dominant gather + DMA traffic), 32 (full-precision rows; carries
+        the depth channel), or "auto" (16 unless viewer_exact /
+        return_depth / zbuf require 32). The 16-byte quantization stays
+        inside the 1e-3 parity budget (module constants in
+        ops/rasterize.py; the reference itself renders from int16
+        covariance + RGBA8 textures, index.js:384-394).
     """
     if capacity is None:
         capacity = default_capacity(scene.num_gaussians)
@@ -486,6 +532,10 @@ def render(
         viewer_exact=viewer_exact,
         exact_depth_sort=exact_depth_sort,
         return_depth=return_depth,
+        feature_bytes=resolve_feature_bytes(
+            feature_bytes, viewer_exact,
+            needs_depth=return_depth or zbuf is not None,
+        ),
     )
     out = (img,)
     if return_depth:

@@ -38,6 +38,12 @@ class FitConfig:
     early_stop: float = 1e-4
     capacity: Optional[int] = None
     log_every: int = 100
+    # 16-byte packed instance rows (fixed-point mean / bf16 conic / RGBA8
+    # color) — halves the training step's dominant gather + kernel DMA
+    # traffic; forward quantization ~1e-3 mean, gradients consistent with
+    # the quantized forward (ops/rasterize.py PACKED16 docs). Set 32 for
+    # full-precision rows.
+    feature_bytes: int = 16
 
 
 def _optimizer(cfg: FitConfig) -> optax.GradientTransformation:
@@ -86,6 +92,7 @@ def make_train_step(
             capacity=capacity,
             alpha_clip=cfg.alpha_clip,
             early_stop=cfg.early_stop,
+            feature_bytes=cfg.feature_bytes,
         )
         return combined_loss(img, target, ssim_weight=cfg.ssim_weight), img
 
@@ -139,6 +146,7 @@ def make_dp_train_step(
             capacity=capacity,
             alpha_clip=cfg.alpha_clip,
             early_stop=cfg.early_stop,
+            feature_bytes=cfg.feature_bytes,
         )
         return combined_loss(img, target, ssim_weight=cfg.ssim_weight), img
 

@@ -181,7 +181,10 @@ def test_dp_train_step_matches_averaged_single_chip():
         jnp.asarray(rng.random((32, 48, 4)).astype(np.float32))
         for _ in cams
     ]
-    cfg = FitConfig(capacity=2048, early_stop=0.0)
+    # feature_bytes=32: this test checks the DP step ALGEBRA against
+    # a single-chip reference on the exact path (the 16-byte training
+    # default adds quantization noise orthogonal to what's tested)
+    cfg = FitConfig(capacity=2048, early_stop=0.0, feature_bytes=32)
     mesh = make_mesh(8)
     step, opt = make_dp_train_step(cams, cfg, 2048, mesh)
     opt_state = opt.init(params)
@@ -252,7 +255,7 @@ def test_dp_band_train_step_matches_mean_loss_single_chip():
         jnp.asarray(rng.random((48, 64, 4)).astype(np.float32))
         for _ in cams
     ]
-    cfg = FitConfig(early_stop=0.0)
+    cfg = FitConfig(early_stop=0.0, feature_bytes=32)  # exact-path algebra test
     mesh = make_mesh_2d((2, 4), axis_names=("view", "band"))
     step, opt = make_dp_band_train_step(
         cams, cfg, mesh, view_axis="view", band_axis="band",

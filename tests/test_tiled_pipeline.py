@@ -357,3 +357,45 @@ def test_alpha_clip_rounding_to_one_stays_finite():
         # transmittance to ~0 (exactly 0 when the clip rounds to 1.0)
         t_final = np.asarray(out)[0, 8 * 16 + 8, 3]
         assert t_final <= 1e-6, (clip, t_final)
+
+
+def test_packed16_training_rows_quality_and_grads():
+    """The 16-byte training rows (fixed-point mean / bf16 conic / RGBA8
+    color + fast fragment math) must stay within their documented
+    quantization floor — >= 40 dB PSNR of the exact 32-byte render — and
+    produce gradients consistent with the exact path (cos >= 0.999).
+    Training (FitConfig.feature_bytes) defaults to this path; it is NOT a
+    parity mode (max edge error ~3e-2, ops/rasterize.py PACKED16 docs)."""
+    import pytest
+    from splatjax.scene import TrainableGaussians
+
+    scene, cam = _scene_cam(seed=33)
+    i32 = np.asarray(render(scene, cam, feature_bytes=32, alpha_clip=0.999))
+    i16 = np.asarray(render(scene, cam, feature_bytes=16, alpha_clip=0.999))
+    mse = float(np.mean((i16 - i32) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= 40.0, psnr
+
+    params = TrainableGaussians.from_scene(scene)
+
+    def loss(p, fb):
+        return jnp.mean(
+            render(p.to_scene(), cam, feature_bytes=fb, alpha_clip=0.999)
+            ** 2
+        )
+
+    g16 = jax.grad(lambda p: loss(p, 16))(params)
+    g32 = jax.grad(lambda p: loss(p, 32))(params)
+    for name in ("means", "log_scales", "quats", "logit_opacities",
+                 "colors"):
+        a = np.asarray(getattr(g16, name)).ravel()
+        b = np.asarray(getattr(g32, name)).ravel()
+        assert np.isfinite(a).all(), name
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+        assert cos > 0.999, (name, cos)
+
+    # 16-byte rows carry no depth: depth/zbuf/viewer_exact must refuse
+    with pytest.raises(ValueError, match="feature_bytes=16"):
+        render(scene, cam, feature_bytes=16, return_depth=True)
+    with pytest.raises(ValueError, match="feature_bytes=16"):
+        render(scene, cam, feature_bytes=16, viewer_exact=True)
