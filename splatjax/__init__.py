@@ -19,6 +19,7 @@ from splatjax.render import (
     render_binned,
     render_instances,
 )
+from splatjax.compose import OpaqueLayer, compose_scene, merge_opaque_layers
 from splatjax import io
 
 __version__ = "0.1.0"
@@ -33,6 +34,9 @@ __all__ = [
     "bin_scene",
     "render_instances",
     "composite_over",
+    "OpaqueLayer",
+    "compose_scene",
+    "merge_opaque_layers",
     "make_camera",
     "perspective",
     "look_at",

@@ -170,6 +170,56 @@ def _gather_features_fwd(feat_n, gid, cum, count, perm, cum_d, count_d,
     return out, (gid, cum, count, perm, cum_d, count_d, overflow)
 
 
+def _effective_cum(cum, count, perm, cum_d, count_d, overflow, k):
+    """Per-gaussian run-end prefix in gid-sorted instance order, corrected
+    for depth-major capacity truncation (dropped = depth-farthest) under a
+    lax.cond so the common non-truncated path pays nothing."""
+    n = cum.shape[0]
+
+    def _truncated(_):
+        inc_d = jnp.clip(k - (cum_d - count_d), 0, count_d)
+        eff_count = jnp.zeros((n,), cum_d.dtype).at[perm].set(inc_d)
+        return jnp.cumsum(eff_count)
+
+    def _full(_):
+        return cum.astype(cum_d.dtype)
+
+    return jax.lax.cond(overflow > 0, _truncated, _full, None)
+
+
+def segment_sum_by_gid_packed_bf16(
+    gp: Array, gid: Array, cum: Array, count: Array,
+    perm: Array, cum_d: Array, count_d: Array, overflow: Array,
+) -> Array:
+    """Transpose of the instance gather for KERNEL-PACKED gradient rows.
+
+    gp: (8, K) int32 feature-major bf16-pair planes as written by the fast
+    backward kernel (rasterize_vjp._pack_grad_bf16: channel c low half,
+    c+8 high). Sort by gid, gather the 32-byte packed rows into contiguous
+    per-gaussian runs, and sum each run exactly over the packed bf16
+    values (up to f32 summation-order rounding) with the windowed one-hot kernel
+    (ops/segreduce.segment_reduce_packed_bf16). Returns (N, 16) f32.
+    Total error = the pack-time bf16 rounding (2^-9 relative per term).
+    """
+    from splatjax.ops.segreduce import LANES2, W, segment_reduce_packed_bf16
+
+    k = gid.shape[0]
+    n = cum.shape[0]
+    eff_cum = _effective_cum(cum, count, perm, cum_d, count_d, overflow, k)
+    _, order = jax.lax.sort(
+        (gid, jnp.arange(k, dtype=jnp.int32)), is_stable=True, num_keys=1
+    )
+    # pad the gather INDICES, not the rows (pad rows repeat row 0; runs
+    # end at eff_cum[-1] <= k so pads never enter any run)
+    k_pad2 = -(-k // W) * W
+    order_p = jnp.pad(order, (0, k_pad2 - k))
+    rows_pm = gp.T[order_p].T                        # (8, K_pad)
+    n_pad2 = (-n) % LANES2
+    cum_p2 = jnp.pad(eff_cum.astype(jnp.int32), (0, n_pad2), mode="edge")
+    sums = segment_reduce_packed_bf16(rows_pm, cum_p2)   # (16, N_pad)
+    return sums[:, :n].T
+
+
 def segment_sum_by_gid(
     g: Array, gid: Array, cum: Array, count: Array,
     perm: Array, cum_d: Array, count_d: Array, overflow: Array,
@@ -187,19 +237,7 @@ def segment_sum_by_gid(
     k = gid.shape[0]
     n = cum.shape[0]
     c = g.shape[0]
-
-    def _truncated(_):
-        # included instances per depth-rank: what fits before capacity
-        inc_d = jnp.clip(
-            k - (cum_d - count_d), 0, count_d
-        )
-        eff_count = jnp.zeros((n,), cum_d.dtype).at[perm].set(inc_d)
-        return jnp.cumsum(eff_count)
-
-    def _full(_):
-        return cum.astype(cum_d.dtype)
-
-    eff_cum = jax.lax.cond(overflow > 0, _truncated, _full, None)
+    eff_cum = _effective_cum(cum, count, perm, cum_d, count_d, overflow, k)
 
     gt = g.T                                             # (K, C)
     _, order = jax.lax.sort(

@@ -39,7 +39,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from splatjax.ops.binning import FEAT_DIM, TileConfig, segment_sum_by_gid
+from splatjax.ops.binning import (
+    FEAT_DIM,
+    TileConfig,
+    segment_sum_by_gid,
+    segment_sum_by_gid_packed_bf16,
+)
 from splatjax.ops.rasterize import (
     CHUNK,
     FEAT_PAD,
@@ -69,6 +74,21 @@ from splatjax.ops.rasterize import (
 )
 
 Array = jax.Array
+
+
+def _pack_grad_bf16(rows16):
+    """(16, C) f32 gradient rows -> (8, C) int32 bf16 pairs: channel c in
+    the LOW half, c+8 in the HIGH half (round-to-nearest-even via integer
+    carry arithmetic — Mosaic-safe, no 16-bit lane types). Consumed by
+    ops/segreduce.segment_reduce_packed_bf16; halves the kernel's grad
+    write traffic and removes the XLA quantize/pack pass entirely."""
+    def rn(x):
+        b = jax.lax.bitcast_convert_type(x, jnp.int32)
+        return b + 0x7FFF + (jnp.right_shift(b, 16) & 1)
+
+    lo = jnp.right_shift(rn(rows16[0:8]), 16) & 0xFFFF
+    hi = rn(rows16[8:16]) & jnp.int32(-65536)
+    return hi | lo
 
 
 def _bwd_kernel(
@@ -366,7 +386,12 @@ def _bwd_kernel(
 
         @pl.when(jnp.logical_not(stash))
         def _():
-            g_new_vmem[i % 2] = rows_own
+            # fast mode writes bf16-pair-packed rows (8 int32 rows instead
+            # of 16 f32): half the write traffic, no XLA pack pass — the
+            # carry stays unpacked f32 so boundary rows still ADD exactly
+            g_new_vmem[i % 2] = (
+                _pack_grad_bf16(rows_own) if fast else rows_own
+            )
             gout_dma(i).start()
 
         # carry to the previous chunk: log T at this chunk's first
@@ -404,11 +429,17 @@ def _bwd_kernel(
         gout_dma(c_done - 1).wait()
 
     # final program: flush a still-pending boundary carry (trailing tiles
-    # were all empty)
+    # were all empty). All writes drained above, so slot 0 is free for the
+    # fast mode's packed staging.
     @pl.when(last_prog & (carry_idx[0] >= 0))
     def _():
+        if fast:
+            g_new_vmem[0] = _pack_grad_bf16(carry_vmem[:, :])
+            src = g_new_vmem.at[0]
+        else:
+            src = carry_vmem
         flush = pltpu.make_async_copy(
-            carry_vmem,
+            src,
             g_feat_hbm.at[:, pl.ds(pl.multiple_of(carry_idx[0], 128), CHUNK)],
             sem_out.at[0],
         )
@@ -432,7 +463,12 @@ def _bwd_pallas(
         _bwd_kernel, cfg=cfg, alpha_clip=alpha_clip,
         has_zbuf=zbuf is not None, g_channels=gch,
     )
-    zeros = jnp.zeros((FEAT_PAD, k_pad), jnp.float32)
+    # fast mode (16-byte feature rows) emits bf16-pair-PACKED grad rows
+    fast = feat_cm.shape[1] == PACKED16_ROWS
+    out_rows, out_dtype = (
+        (PACKED_ROWS, jnp.int32) if fast else (FEAT_PAD, jnp.float32)
+    )
+    zeros = jnp.zeros((out_rows, k_pad), out_dtype)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # feat (packed)
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # zeros->alias
@@ -455,7 +491,7 @@ def _bwd_pallas(
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, feat_cm.shape[1], CHUNK), jnp.int32),  # feat
-            pltpu.VMEM((2, FEAT_PAD, CHUNK), jnp.float32),    # g_new
+            pltpu.VMEM((2, out_rows, CHUNK), out_dtype),      # g_new
             pltpu.VMEM((FEAT_PAD, CHUNK), jnp.float32),       # carry out
             pltpu.VMEM((FEAT_PAD, CHUNK), jnp.float32),       # carry in
             pltpu.SMEM((1,), jnp.int32),                      # carry window
@@ -466,7 +502,7 @@ def _bwd_pallas(
     g_feat = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((FEAT_PAD, k_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_rows, k_pad), out_dtype),
         input_output_aliases={4: 0},  # zeros input (after 3 scalars) -> out
         interpret=_use_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -586,6 +622,22 @@ def _gathered_fwd_rule(feat_n, gid, starts, ends, cum, count, perm,
     return out, res
 
 
+def _grad_rows_to_gaussians(g_feat, gid, cum, count, perm, cum_d, count_d,
+                            overflow):
+    """Dispatch the gather transpose on the kernel's output form: fast
+    mode emits (8, K_pad) int32 bf16-pair planes, exact mode (16, K_pad)
+    f32 rows. Returns (N, 16) per-gaussian sums."""
+    if g_feat.dtype == jnp.int32:
+        return segment_sum_by_gid_packed_bf16(
+            g_feat[:, : gid.shape[0]], gid, cum, count, perm, cum_d,
+            count_d, overflow,
+        )
+    gt = g_feat[:FEAT_DIM, : gid.shape[0]]             # (16, K)
+    return segment_sum_by_gid(
+        gt, gid, cum, count, perm, cum_d, count_d, overflow
+    )                                                  # (N, 16)
+
+
 def _gathered_bwd_rule(cfg, alpha_clip, early_stop, packed16, res,
                        cotangents):
     del early_stop, packed16
@@ -596,10 +648,9 @@ def _gathered_bwd_rule(cfg, alpha_clip, early_stop, packed16, res,
         feat_cm, starts, ends, chunks_done, out_tiles,
         g_out.astype(jnp.float32), cfg, alpha_clip, zbuf=zbuf,
     )
-    gt = g_feat[:FEAT_DIM, : gid.shape[0]]             # (16, K)
-    seg = segment_sum_by_gid(
-        gt, gid, cum, count, perm, cum_d, count_d, overflow
-    )                                                  # (N, 16)
+    seg = _grad_rows_to_gaussians(
+        g_feat, gid, cum, count, perm, cum_d, count_d, overflow
+    )
     return (seg,) + (None,) * 10
 
 
@@ -700,9 +751,8 @@ def _image_bwd_rule(cfg, alpha_clip, early_stop, packed16, res, gimg):
         feat_cm, starts, ends, chunks_done, out_tiles, g4, cfg,
         alpha_clip, zbuf=zbuf,
     )
-    gt = g_feat[:FEAT_DIM, : gid.shape[0]]              # (16, K)
-    seg = segment_sum_by_gid(
-        gt, gid, cum, count, perm, cum_d, count_d, overflow
+    seg = _grad_rows_to_gaussians(
+        g_feat, gid, cum, count, perm, cum_d, count_d, overflow
     )                                                   # (N, 16)
     if background is None:
         g_bg = None

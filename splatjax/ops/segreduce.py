@@ -351,3 +351,143 @@ def segment_reduce_rows(rows_fm: Array, cum: Array) -> Array:
         interpret=_use_interpret(),
     )(blk_start, blk_chunks, rows_fm, cum_pair)
     return out
+
+
+# ---- packed-bf16 variant (kernel-written gradient rows) -----------------
+#
+# The fast (16-byte-row) backward kernel writes its gradient rows already
+# PACKED as bf16 pairs in int32 lanes: channel c in the LOW half, c+8 in
+# the HIGH half (rasterize_vjp._bwd_kernel) — no XLA quantize/pack pass
+# and half the kernel's grad-write traffic. This kernel consumes that form
+# directly: each plane splits into its two bf16 values (one mask / one
+# shift + int32->f32 bitcast — a bf16's f32 pattern IS its 16 bits shifted
+# high), and the one-hot run sum is ONE bf16 MXU pass per 16-row operand:
+# sel is 0/1 (bf16-exact) and the values are bf16 by construction, so
+# every product is exact and the f32 MXU accumulation adds only f32
+# summation-order rounding (~ulp of the run sum). Total error = the bf16
+# rounding at pack time (2^-9 relative per term) + that ulp.
+
+
+def _segreduce_bf16_kernel(
+    # scalar prefetch
+    blk_wstart_ref, blk_nw_ref,
+    # inputs
+    rows_hbm, cum_ref,
+    # outputs
+    out_ref,
+    # scratch
+    win_vmem, sems,
+):
+    b = pl.program_id(0)
+    w0 = blk_wstart_ref[b]
+    nw = blk_nw_ref[b]
+
+    cum_incl = cum_ref[0:1, :]                       # (1, LANES2) int32
+    cum_excl = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, LANES2), 1) == 0,
+        cum_ref[1:2, 0:1], pltpu.roll(cum_incl, 1, axis=1)
+    )
+
+    def dma(slot, wi):
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds((w0 + wi) * W, W)],
+            win_vmem.at[slot], sems.at[slot],
+        )
+
+    @pl.when((b == 0) & (nw > 0))
+    def _():
+        dma(0, 0).start()
+
+    subl = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    hi_mask = jnp.int32(-65536)  # 0xFFFF0000
+
+    def body(wi, acc):
+        @pl.when(wi + 1 < nw)
+        def _():
+            dma((wi + 1) % 2, wi + 1).start()
+
+        dma(wi % 2, wi).wait()
+        wv = win_vmem[wi % 2]                        # (8, W) int32
+        lo = jax.lax.bitcast_convert_type(
+            jnp.left_shift(wv, 16), jnp.float32
+        ).astype(jnp.bfloat16)                       # channels 0..7 (exact)
+        hi = jax.lax.bitcast_convert_type(
+            wv & hi_mask, jnp.float32
+        ).astype(jnp.bfloat16)                       # channels 8..15
+        rows16 = jnp.concatenate([lo, hi], axis=0)   # (16, W) bf16
+        j = (w0 + wi) * W + subl                     # (W, 1)
+        sel = ((j >= cum_excl) & (j < cum_incl)).astype(jnp.bfloat16)
+        return acc + jax.lax.dot_general(
+            rows16, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (16, LANES2)
+
+    acc = jax.lax.fori_loop(
+        0, nw, body, jnp.zeros((2 * PACKED_PLANES, LANES2), jnp.float32)
+    )
+    out_ref[:, :] = acc
+
+    nb = b + 1
+    in_grid = nb < pl.num_programs(0)
+    nb_c = jnp.minimum(nb, pl.num_programs(0) - 1)
+
+    @pl.when(in_grid & (blk_nw_ref[nb_c] > 0))
+    def _():
+        pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(blk_wstart_ref[nb_c] * W, W)],
+            win_vmem.at[0], sems.at[0],
+        ).start()
+
+
+@jax.jit
+def segment_reduce_packed_bf16(rows_pm: Array, cum: Array) -> Array:
+    """Per-run sums of bf16-pair-packed gradient rows.
+
+    rows_pm: (8, K) int32 feature-major planes — lane k of plane c holds
+      bf16_bits(g[k, c+8]) << 16 | bf16_bits(g[k, c]); instances grouped by
+      gaussian (run [cum[g-1], cum[g])). K a multiple of 1024.
+    cum: (N,) int inclusive run-end prefix, N a multiple of 256.
+    Returns (16, N) f32: exact per-run sums of the packed bf16 values.
+    """
+    p, k = rows_pm.shape
+    n = cum.shape[0]
+    assert p == PACKED_PLANES and k % W == 0 and n % LANES2 == 0
+    cum_i = cum.astype(jnp.int32)
+    cum_blocks = cum_i.reshape(n // LANES2, LANES2)
+    prev_last = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), cum_blocks[:-1, -1]]
+    )
+    blk_wstart = prev_last // W
+    blk_wend = -(-cum_blocks[:, -1] // W)
+    blk_nw = jnp.maximum(blk_wend - blk_wstart, 0)
+    cum_pair = jnp.stack(
+        [cum_blocks, jnp.broadcast_to(prev_last[:, None], cum_blocks.shape)],
+        axis=1,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n // LANES2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((1, 2, LANES2), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * PACKED_PLANES, LANES2),
+                               lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, PACKED_PLANES, W), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        lambda bs, bn, rows_ref, cum_ref, out_ref, win_vmem, sems:
+            _segreduce_bf16_kernel(bs, bn, rows_ref, cum_ref[0], out_ref,
+                                   win_vmem, sems),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2 * PACKED_PLANES, n), jnp.float32),
+        interpret=_use_interpret(),
+    )(blk_wstart, blk_nw, rows_pm, cum_pair)
+    return out

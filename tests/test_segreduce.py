@@ -84,3 +84,55 @@ def test_feature_major_kernel_matches_oracle():
     gid = np.repeat(np.arange(n), count)
     np.add.at(oracle, gid, rows.T.astype(np.float64))
     np.testing.assert_allclose(out.T, oracle, rtol=1e-5, atol=1e-4)
+
+
+def test_segment_reduce_packed_bf16_matches_oracle():
+    """Kernel-packed bf16 gradient rows (rasterize_vjp._pack_grad_bf16)
+    summed by segment_reduce_packed_bf16 must equal the numpy oracle: the
+    per-run f32 sum of the bf16-ROUNDED values (sel products are exact and
+    the MXU accumulates in f32, so only f32 summation-order rounding
+    remains — ~ulp of the run sum)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from splatjax.ops.rasterize_vjp import _pack_grad_bf16
+    from splatjax.ops.segreduce import LANES2, W, segment_reduce_packed_bf16
+
+    rng = np.random.default_rng(5)
+    n, runs_max = 512, 9
+    count = rng.integers(0, runs_max, size=n).astype(np.int32)
+    cum = np.cumsum(count).astype(np.int32)
+    k = int(cum[-1])
+    g = (rng.normal(size=(16, k)) * 10.0 ** rng.integers(
+        -4, 3, size=(16, k))).astype(np.float32)
+
+    packed = np.asarray(_pack_grad_bf16(jnp.asarray(g)))  # (8, K)
+    k_pad = -(-k // W) * W
+    packed_p = np.zeros((8, k_pad), np.int32)
+    packed_p[:, :k] = packed
+    n_pad = (-n) % LANES2
+    cum_p = np.pad(cum, (0, n_pad), mode="edge")
+
+    got = np.asarray(
+        segment_reduce_packed_bf16(jnp.asarray(packed_p), jnp.asarray(cum_p))
+    )[:, :n].T                                            # (N, 16)
+
+    g_bf = np.asarray(jnp.asarray(g).astype(jnp.bfloat16).astype(jnp.float32))
+    expect = np.zeros((n, 16), np.float32)
+    start = 0
+    for i in range(n):
+        expect[i] = g_bf[:, start:cum[i]].sum(axis=1)
+        start = cum[i]
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+
+    # the kernel's integer round-to-nearest-even == jnp bf16 cast
+    vals = np.concatenate([
+        rng.normal(size=1000).astype(np.float32) * 1e3,
+        np.array([0.0, -0.0, 1e-30, -1e-30, 65504.0], np.float32),
+    ])
+    p = np.asarray(_pack_grad_bf16(jnp.asarray(np.tile(vals, (16, 1)))))
+    lo = np.asarray(jax.lax.bitcast_convert_type(
+        jnp.asarray(p << 16), jnp.float32))[0]
+    want = np.asarray(jnp.asarray(vals).astype(jnp.bfloat16).astype(
+        jnp.float32))
+    np.testing.assert_array_equal(lo, want)
