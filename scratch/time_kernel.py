@@ -32,7 +32,8 @@ from splatjax.ops.binning import (  # noqa: E402
 )
 from splatjax.ops.projection import project_gaussians  # noqa: E402
 from splatjax.ops.rasterize import (  # noqa: E402
-    chunk_major_rows, pack_feature_table, rasterize_cm_fwd,
+    chunk_major_rows, pack_feature_table, pack_feature_table16,
+    rasterize_cm_fwd,
 )
 from splatjax.scene import build_covariances  # noqa: E402
 
@@ -43,29 +44,30 @@ def _sync(x):
 
 
 def timeit(f, *a, iters=30, batch=4):
+    # two-batch-size timing: per-sync overhead cancels exactly (see
+    # benchmarks/stages.py — ping-based RTT over-subtracts on this tunnel)
     _sync(f(*a))
-    tiny = jax.jit(lambda x: x + 1.0)
-    t = jax.device_put(jnp.zeros((8, 128)))
-    _sync(tiny(t))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        _sync(tiny(t))
-    rtt = (time.perf_counter() - t0) / 5
-    times = []
-    for _ in range(max(iters // batch, 3)):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(batch):
-            out = f(*a)
-        _sync(out)
-        times.append((time.perf_counter() - t0 - rtt) / batch)
-    return float(np.median(times)) * 1e3
+
+    def wall(j):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(j):
+                out = f(*a)
+            _sync(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    j1, j2 = 2, 2 + max(iters // 4, 4)
+    return (wall(j2) - wall(j1)) / (j2 - j1) * 1e3
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--bwd", action="store_true")
+    ap.add_argument("--fb", type=int, default=32, choices=(16, 32))
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
 
@@ -85,7 +87,8 @@ def main():
         )
         binned = bin_gaussians(proj, cfg, cap, with_features=False)
         feat_n = features_from_projection(proj)
-        feat_cm = chunk_major_rows(pack_feature_table(feat_n)[binned.gauss_id])
+        pack = pack_feature_table16 if args.fb == 16 else pack_feature_table
+        feat_cm = chunk_major_rows(pack(feat_n)[binned.gauss_id])
         return feat_cm, binned.starts, binned.ends, binned.num_instances
 
     feat_cm, starts, ends, ninst = prep(

@@ -268,14 +268,14 @@ def chunk_major(feat_pk_pad: Array) -> Array:
 
 
 def chunk_major_rows(feat_km: Array) -> Array:
-    """Row-major gathered (K, 8) int32 rows -> streaming-ready chunk-major
-    (n_chunks, 8, CHUNK) with block padding. This replaces the (K, 8) ->
-    (8, K) transpose the gather epilogue used to pay — same bytes, one
-    shuffle."""
-    k = feat_km.shape[0]
+    """Row-major gathered (K, n_rows) int32 rows -> streaming-ready
+    chunk-major (n_chunks, n_rows, CHUNK) with block padding. This
+    replaces the (K, n) -> (n, K) transpose the gather epilogue used to
+    pay — same bytes, one shuffle."""
+    k, n_rows = feat_km.shape
     k_pad = -(-k // CHUNK) * CHUNK + CHUNK
     padded = jnp.pad(feat_km, ((0, k_pad - k), (0, 0)))
-    cm = padded.reshape(k_pad // CHUNK, CHUNK, PACKED_ROWS).transpose(0, 2, 1)
+    cm = padded.reshape(k_pad // CHUNK, CHUNK, n_rows).transpose(0, 2, 1)
     return pad_chunk_major(cm)
 
 
