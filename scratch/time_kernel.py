@@ -98,8 +98,10 @@ def main():
     jax.block_until_ready(feat_cm)
     print(f"instances: {int(ninst)}  chunks: {feat_cm.shape[0]}")
 
+    pk16 = args.fb == 16
     fwd = jax.jit(lambda f, s, e: rasterize_cm_fwd(
-        f, s, e, cfg, alpha_clip=0.999, early_stop=1e-4)[0])
+        f, s, e, cfg, alpha_clip=0.999, early_stop=1e-4,
+        packed16=pk16)[0])
     ms = timeit(fwd, feat_cm, starts, ends, iters=args.iters)
     print(f"rasterize_cm_fwd: {ms:.2f} ms")
 
@@ -108,11 +110,12 @@ def main():
 
         out_tiles, chunks_done = jax.jit(
             lambda f, s, e: rasterize_cm_fwd(
-                f, s, e, cfg, alpha_clip=0.999, early_stop=1e-4)
+                f, s, e, cfg, alpha_clip=0.999, early_stop=1e-4,
+                packed16=pk16)
         )(feat_cm, starts, ends)
         g_out = jnp.ones_like(out_tiles[:, :, :4])
         bwd = jax.jit(lambda f, s, e, c, o, g: _bwd_pallas(
-            f, s, e, c, o, g, cfg, 0.999))
+            f, s, e, c, o, g, cfg, 0.999, packed16=pk16))
         ms = timeit(bwd, feat_cm, starts, ends, chunks_done, out_tiles,
                     g_out, iters=args.iters)
         print(f"rasterize bwd kernel: {ms:.2f} ms")

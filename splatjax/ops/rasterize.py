@@ -65,13 +65,11 @@ PACKED_ROWS = 8
 # segment-sum windows.
 FEAT_PAD = 16
 
-# ---- 16-byte training rows (PACKED16_ROWS = 4 int32 lanes) --------------
-# The post-sort feature gather and the kernel ring DMAs are HBM-bound: at
-# 3M instances the 32 B rows cost ~14 ms of gather alone. Training needs
-# far less precision than the viewer-parity path, so the default training
-# row is 16 B (the reference itself renders from int16-quantized
-# covariance + RGBA8 color textures, index.js:384-394 — precision dieting
-# is reference-sanctioned):
+# ---- 16-byte training rows (PACKED16_ROWS = 4 data lanes) ---------------
+# Training needs far less precision than the viewer-parity path, so the
+# training row packs its payload into 4 int32 lanes (the reference itself
+# renders from int16-quantized covariance + RGBA8 color textures,
+# index.js:384-394 — precision dieting is reference-sanctioned):
 #
 #   lane 0: mean2d fixed-point  (mx_u16 << 16) | my_u16,  1/8 px steps,
 #           bias +2048 px -> covers [-2048, 6144) px: every legal mean
@@ -81,9 +79,17 @@ FEAT_PAD = 16
 #   lane 1: (conic.a bf16 << 16) | conic.b bf16
 #   lane 2: (conic.c bf16 << 16) | opacity u16       (1/65535 steps)
 #   lane 3: (r_u8 << 24) | (g_u8 << 16) | (b_u8 << 8)  (RGBA8-equivalent)
+#   lane 4: f32 bits of camera depth (expected-depth / z-buffer occlusion
+#           work in fast mode too)
+#   lanes 5-7: zero padding
 #
-# No depth lane: expected-depth output and z-buffer occlusion require the
-# 32 B rows (render(feature_bytes=...) resolves this automatically).
+# The table is STORED 8 lanes wide even though only 16 B carry payload:
+# the post-sort instance gather is per-ROW bound on v5e (~4.4 cycles/row
+# regardless of width), and an 8-lane row lets XLA fuse the chunk-major
+# shuffle into the gather — measured 14.9 ms vs 18.6 ms for the 4-lane
+# layout at 3M rows. The extra ring-DMA bytes are latency-hidden behind
+# fragment compute (docs/PERF.md item 5).
+#
 # Worst-case image error (bf16 conic: |power| * 2^-9 <= 8e-3 of power;
 # mean: slope sqrt(8*conic_max) * 1/16 px) stays inside the 1e-3 parity
 # budget on real splat statistics — enforced by the on-device gate in
@@ -102,8 +108,9 @@ def _bf16_bits_hi(x: Array) -> Array:
 
 
 def pack_feature_table16(feat_n: Array) -> Array:
-    """Unpacked (N, >=9) f32 per-gaussian features -> packed (N, 4) int32
-    16-byte training rows (row-major gather source)."""
+    """Unpacked (N, >=9) f32 per-gaussian features -> packed (N, 8) int32
+    training rows (16-byte payload + depth lane + padding; row-major
+    gather source — see the PACKED16 layout note above)."""
     mxq = jnp.clip(
         jnp.floor((feat_n[:, 0] + MEAN16_BIAS) * (1.0 / MEAN16_STEP) + 0.5),
         0.0, 65535.0,
@@ -129,12 +136,17 @@ def pack_feature_table16(feat_n: Array) -> Array:
     lane1 = ca | ((cb >> 16) & 0xFFFF)
     lane2 = cc | opa
     lane3 = (r8 << 24) | (g8 << 16) | (b8 << 8)
-    return jnp.stack([lane0, lane1, lane2, lane3], axis=1)
+    depth = feat_n[:, 9] if feat_n.shape[1] > 9 else jnp.zeros_like(feat_n[:, 0])
+    lane4 = jax.lax.bitcast_convert_type(depth, jnp.int32)
+    zero = jnp.zeros_like(lane0)
+    return jnp.stack(
+        [lane0, lane1, lane2, lane3, lane4, zero, zero, zero], axis=1
+    )
 
 
 def unpack_chunk16(chunk_i32: Array):
-    """Packed (4, C) int32 16-byte rows -> tuple of (1, C) f32 feature rows
-    (mx, my, ca, cb, cc, r, g, b, opa, depth==0).
+    """Packed (8, C) int32 training rows -> tuple of (1, C) f32 feature
+    rows (mx, my, ca, cb, cc, r, g, b, opa, depth).
 
     bf16 decode is one mask/shift + int32->f32 bitcast (a bf16 value's f32
     bit pattern IS its 16 bits shifted high) — no 16-bit lane types in the
@@ -156,7 +168,7 @@ def unpack_chunk16(chunk_i32: Array):
     r = (jnp.right_shift(l3, 24) & 255).astype(jnp.float32) * inv255
     g = (jnp.right_shift(l3, 16) & 255).astype(jnp.float32) * inv255
     b = (jnp.right_shift(l3, 8) & 255).astype(jnp.float32) * inv255
-    depth = jnp.zeros_like(mx)
+    depth = jax.lax.bitcast_convert_type(chunk_i32[4:5, :], jnp.float32)
     return (mx, my, ca, cb, cc, r, g, b, opa, depth)
 
 
@@ -416,7 +428,7 @@ def _split_basis(basis6):
 
 
 def _chunk_alpha(chunk, basis6, ox, oy, kidx, start, end, alpha_clip,
-                 zb=None):
+                 zb=None, packed16=False):
     """Alpha matrix (P, CHUNK) for one packed feature chunk at tile pixels.
 
     chunk: (8, CHUNK) int32 packed; kidx: (1, CHUNK) absolute instance ids;
@@ -435,13 +447,11 @@ def _chunk_alpha(chunk, basis6, ox, oy, kidx, start, end, alpha_clip,
     ~1e7 and the error past the budget; never switch this to global px.
 
     Returns (alpha, rows, in_range) with rows the unpacked feature tuple
-    from :func:`unpack_chunk` (32 B rows) or :func:`unpack_chunk16`
-    (16 B training rows — selected by the chunk's lane count).
+    from :func:`unpack_chunk` (32 B viewer rows) or :func:`unpack_chunk16`
+    (training rows — selected by the static ``packed16`` flag; both forms
+    are 8 int32 lanes wide).
     """
-    rows = (
-        unpack_chunk(chunk) if chunk.shape[0] == PACKED_ROWS
-        else unpack_chunk16(chunk)
-    )
+    rows = unpack_chunk16(chunk) if packed16 else unpack_chunk(chunk)
     mxl = rows[0] - ox                     # (1, CHUNK) tile-local mean
     myl = rows[1] - oy
     ca, cb, cc = rows[2], rows[3], rows[4]
@@ -503,6 +513,7 @@ def _fwd_kernel(
     feat_hbm, *maybe_zbuf_and_outs,
     # then: out_ref, scratch (ring, cur, sems)
     cfg: TileConfig, alpha_clip, early_stop, has_zbuf: bool, n_blocks: int,
+    packed16: bool,
 ):
     if has_zbuf:
         zbuf_ref, out_ref, ring, cur, sems = maybe_zbuf_and_outs
@@ -523,7 +534,7 @@ def _fwd_kernel(
     # 16-byte training rows select the fast fragment math: pre-split-basis
     # 3-pass power matmul, single-pass bf16 scans and accumulation — the
     # rows' own quantization already floors the error above all of these
-    fast = ring.shape[1] == PACKED16_ROWS
+    fast = packed16
     if fast:
         basis6 = _split_basis(basis6)
 
@@ -591,7 +602,8 @@ def _fwd_kernel(
         chunk = ring[(b % NRING) * BLK_CHUNKS + (ci % BLK_CHUNKS)]
         kidx = _lane_iota(CHUNK) + ci * CHUNK
         alpha, rows, _ = _chunk_alpha(
-            chunk, basis6, ox, oy, kidx, start, end, alpha_clip, zb
+            chunk, basis6, ox, oy, kidx, start, end, alpha_clip, zb,
+            packed16=packed16,
         )
         # EXCLUSIVE cumprod of (1-alpha) straight from the STRICT
         # triangular mask (no roll/select pass); the chunk-inclusive
@@ -669,7 +681,7 @@ def pad_chunk_major(feat_cm: Array) -> Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "alpha_clip", "early_stop")
+    jax.jit, static_argnames=("cfg", "alpha_clip", "early_stop", "packed16")
 )
 def rasterize_cm_fwd(
     feat_cm: Array,
@@ -679,28 +691,27 @@ def rasterize_cm_fwd(
     alpha_clip: Optional[float] = None,
     early_stop: float = 1e-4,
     zbuf: Optional[Array] = None,
+    packed16: bool = False,
 ):
     """Pallas forward on chunk-major packed features.
 
     feat_cm: (n_chunks, 8, CHUNK) int32 chunk-major instance rows (sorted;
     see :func:`chunk_major`), n_chunks a BLK_CHUNKS multiple with at least
-    one chunk of slack past the last real instance.
-    zbuf: optional (T, P, 1) camera-z buffer for opaque-geometry occlusion.
+    one chunk of slack past the last real instance. ``packed16`` selects
+    the training-row decode + fast fragment math (the rows are 8 int32
+    lanes wide either way — see the PACKED16 layout note).
+    zbuf: optional (T, P, 1) camera-z buffer for opaque-geometry occlusion
+    (depth rides lane 4 in training rows, lane 7 in viewer rows).
     Returns (out_tiles (T, P, 8) [r,g,b,T_final,chunks,depth,..],
     chunks_done (T,)).
     """
     t_tiles = cfg.num_tiles
     p = cfg.pixels_per_tile
     n_rows = feat_cm.shape[1]
-    if zbuf is not None and n_rows != PACKED_ROWS:
-        raise ValueError(
-            "z-buffer occlusion needs the 32-byte rows (16-byte training "
-            "rows carry no depth; use feature_bytes=32)"
-        )
     n_blocks = feat_cm.shape[0] // BLK_CHUNKS
     kernel = functools.partial(
         _fwd_kernel, cfg=cfg, alpha_clip=alpha_clip, early_stop=early_stop,
-        has_zbuf=zbuf is not None, n_blocks=n_blocks,
+        has_zbuf=zbuf is not None, n_blocks=n_blocks, packed16=packed16,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
     inputs = [feat_cm]

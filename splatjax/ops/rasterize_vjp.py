@@ -98,6 +98,7 @@ def _bwd_kernel(
     feat_hbm, zeros_hbm, g_out_ref, out_saved_ref, *rest,
     # then: g_feat_hbm (aliased with zeros_hbm) + scratch
     cfg: TileConfig, alpha_clip, has_zbuf: bool, g_channels: int = 8,
+    packed16: bool = False,
 ):
     del zeros_hbm  # aliased storage for g_feat_hbm; only read via the alias
     if has_zbuf:
@@ -140,7 +141,7 @@ def _bwd_kernel(
     basis6 = _power_basis(pxl, pyl)      # (P, 6) — shared with _chunk_alpha
     # 16-byte training rows -> fast fragment math (see the fwd kernel):
     # split basis for the alpha matmul; single-pass bf16 reductions below
-    fast = feat_vmem.shape[1] == PACKED16_ROWS
+    fast = packed16
     basis_a = _split_basis(basis6) if fast else basis6
     cot4 = jnp.concatenate([g_r, g_g, g_b, g_d], axis=1)   # (P, 4)
     gtt = g_tf * t_final                 # (P, 1) hoisted out of the loop
@@ -225,7 +226,8 @@ def _bwd_kernel(
         chunk = feat_vmem[i % 2]
         kidx = _lane_iota(CHUNK) + base
         alpha, rows, in_range = _chunk_alpha(
-            chunk, basis_a, ox, oy, kidx, start, end, alpha_clip, zb
+            chunk, basis_a, ox, oy, kidx, start, end, alpha_clip, zb,
+            packed16=packed16,
         )
         om = 1.0 - alpha
         # Per-instance transmittance recovered fully in LOG space:
@@ -449,22 +451,23 @@ def _bwd_kernel(
 
 def _bwd_pallas(
     feat_cm, starts, ends, chunks_done, out_saved, g_out,
-    cfg: TileConfig, alpha_clip, zbuf=None,
+    cfg: TileConfig, alpha_clip, zbuf=None, packed16=False,
 ):
     """feat_cm: chunk-major (n_chunks, 8, CHUNK) packed features (the
-    forward's streaming layout, shared as the VJP residual). g_out may be
-    (T, P, 8) (full out_tiles cotangent) or (T, P, 4) (image-level
-    r/g/b/T_final cotangent, no depth channel)."""
+    forward's streaming layout, shared as the VJP residual; ``packed16``
+    selects the training-row decode). g_out may be (T, P, 8) (full
+    out_tiles cotangent) or (T, P, 4) (image-level r/g/b/T_final
+    cotangent, no depth channel)."""
     t_tiles = cfg.num_tiles
     p = cfg.pixels_per_tile
     k_pad = feat_cm.shape[0] * CHUNK
     gch = g_out.shape[-1]
     kernel = functools.partial(
         _bwd_kernel, cfg=cfg, alpha_clip=alpha_clip,
-        has_zbuf=zbuf is not None, g_channels=gch,
+        has_zbuf=zbuf is not None, g_channels=gch, packed16=packed16,
     )
-    # fast mode (16-byte feature rows) emits bf16-pair-PACKED grad rows
-    fast = feat_cm.shape[1] == PACKED16_ROWS
+    # fast mode (16-byte training rows) emits bf16-pair-PACKED grad rows
+    fast = packed16
     out_rows, out_dtype = (
         (PACKED_ROWS, jnp.int32) if fast else (FEAT_PAD, jnp.float32)
     )
@@ -603,7 +606,7 @@ def rasterize_gathered(
     feat_cm = gather_chunk_major(pack(feat_n), gid)
     return rasterize_cm_fwd(
         feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
-        early_stop=early_stop, zbuf=zbuf,
+        early_stop=early_stop, zbuf=zbuf, packed16=packed16,
     )
 
 
@@ -614,7 +617,7 @@ def _gathered_fwd_rule(feat_n, gid, starts, ends, cum, count, perm,
     feat_cm = gather_chunk_major(pack(feat_n), gid)
     out = rasterize_cm_fwd(
         feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
-        early_stop=early_stop, zbuf=zbuf,
+        early_stop=early_stop, zbuf=zbuf, packed16=packed16,
     )
     out_tiles, chunks_done = out
     res = (feat_cm, gid, starts, ends, cum, count, perm, cum_d, count_d,
@@ -640,13 +643,14 @@ def _grad_rows_to_gaussians(g_feat, gid, cum, count, perm, cum_d, count_d,
 
 def _gathered_bwd_rule(cfg, alpha_clip, early_stop, packed16, res,
                        cotangents):
-    del early_stop, packed16
+    del early_stop
     (feat_cm, gid, starts, ends, cum, count, perm, cum_d, count_d,
      overflow, zbuf, out_tiles, chunks_done) = res
     g_out, _ = cotangents
     g_feat = _bwd_pallas(
         feat_cm, starts, ends, chunks_done, out_tiles,
         g_out.astype(jnp.float32), cfg, alpha_clip, zbuf=zbuf,
+        packed16=packed16,
     )
     seg = _grad_rows_to_gaussians(
         g_feat, gid, cum, count, perm, cum_d, count_d, overflow
@@ -722,7 +726,7 @@ def render_image_gathered(
     feat_cm = gather_chunk_major(pack(feat_n), gid)
     out_tiles, _ = rasterize_cm_fwd(
         feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
-        early_stop=early_stop, zbuf=zbuf,
+        early_stop=early_stop, zbuf=zbuf, packed16=packed16,
     )
     return _assemble_image(out_tiles, cfg, background)
 
@@ -734,7 +738,7 @@ def _image_fwd_rule(feat_n, gid, starts, ends, cum, count, perm,
     feat_cm = gather_chunk_major(pack(feat_n), gid)
     out_tiles, chunks_done = rasterize_cm_fwd(
         feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
-        early_stop=early_stop, zbuf=zbuf,
+        early_stop=early_stop, zbuf=zbuf, packed16=packed16,
     )
     img = _assemble_image(out_tiles, cfg, background)
     res = (feat_cm, gid, starts, ends, cum, count, perm, cum_d, count_d,
@@ -743,13 +747,13 @@ def _image_fwd_rule(feat_n, gid, starts, ends, cum, count, perm,
 
 
 def _image_bwd_rule(cfg, alpha_clip, early_stop, packed16, res, gimg):
-    del early_stop, packed16
+    del early_stop
     (feat_cm, gid, starts, ends, cum, count, perm, cum_d, count_d,
      overflow, background, zbuf, out_tiles, chunks_done) = res
     g4 = _image_cotangent_to_tiles(gimg, cfg, background)
     g_feat = _bwd_pallas(
         feat_cm, starts, ends, chunks_done, out_tiles, g4, cfg,
-        alpha_clip, zbuf=zbuf,
+        alpha_clip, zbuf=zbuf, packed16=packed16,
     )
     seg = _grad_rows_to_gaussians(
         g_feat, gid, cum, count, perm, cum_d, count_d, overflow

@@ -86,10 +86,11 @@ def resolve_feature_bytes(
     fb = int(feature_bytes)
     if fb not in (16, 32):
         raise ValueError(f"feature_bytes must be 16, 32 or 'auto', got {fb}")
-    if fb == 16 and (needs_depth or viewer_exact):
+    if fb == 16 and viewer_exact:
         raise ValueError(
-            "feature_bytes=16 rows carry no depth channel and are not a "
-            "parity mode; use 32 with return_depth/zbuf/viewer_exact"
+            "feature_bytes=16 is not a parity mode; use 32 with "
+            "viewer_exact (training rows carry f32 depth, so "
+            "return_depth/zbuf work in either mode)"
         )
     return fb
 

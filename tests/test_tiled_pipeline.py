@@ -394,8 +394,14 @@ def test_packed16_training_rows_quality_and_grads():
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
         assert cos > 0.999, (name, cos)
 
-    # 16-byte rows carry no depth: depth/zbuf/viewer_exact must refuse
-    with pytest.raises(ValueError, match="feature_bytes=16"):
-        render(scene, cam, feature_bytes=16, return_depth=True)
+    # training rows carry f32 depth in lane 4: expected-depth output must
+    # track the exact path; viewer_exact still refuses (not a parity mode)
+    _, d16 = render(scene, cam, feature_bytes=16, alpha_clip=0.999,
+                    return_depth=True)
+    _, d32 = render(scene, cam, feature_bytes=32, alpha_clip=0.999,
+                    return_depth=True)
+    covered = np.abs(np.asarray(d32)) > 1e-3
+    derr = np.abs(np.asarray(d16) - np.asarray(d32))[covered]
+    assert derr.max() < 0.05 * np.abs(np.asarray(d32))[covered].max()
     with pytest.raises(ValueError, match="feature_bytes=16"):
         render(scene, cam, feature_bytes=16, viewer_exact=True)
