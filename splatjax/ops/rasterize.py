@@ -168,7 +168,13 @@ def unpack_chunk16(chunk_i32: Array):
     r = (jnp.right_shift(l3, 24) & 255).astype(jnp.float32) * inv255
     g = (jnp.right_shift(l3, 16) & 255).astype(jnp.float32) * inv255
     b = (jnp.right_shift(l3, 8) & 255).astype(jnp.float32) * inv255
-    depth = jax.lax.bitcast_convert_type(chunk_i32[4:5, :], jnp.float32)
+    # kernels that need no depth stream only the 4 payload lanes (the ring
+    # DMA slices lanes [0, 4) out of the 8-lane stored rows); depth-free
+    # call sites consume only g_d == 0-weighted terms, so zeros are exact
+    if chunk_i32.shape[0] > 4:
+        depth = jax.lax.bitcast_convert_type(chunk_i32[4:5, :], jnp.float32)
+    else:
+        depth = jnp.zeros_like(mx)
     return (mx, my, ca, cb, cc, r, g, b, opa, depth)
 
 
@@ -513,7 +519,7 @@ def _fwd_kernel(
     feat_hbm, *maybe_zbuf_and_outs,
     # then: out_ref, scratch (ring, cur, sems)
     cfg: TileConfig, alpha_clip, early_stop, has_zbuf: bool, n_blocks: int,
-    packed16: bool,
+    packed16: bool, stream_lanes: int = 8,
 ):
     if has_zbuf:
         zbuf_ref, out_ref, ring, cur, sems = maybe_zbuf_and_outs
@@ -542,8 +548,16 @@ def _fwd_kernel(
         # clamped source keeps lookahead DMAs past the table in bounds
         # (their data is never read; they are drained at grid end)
         src = jnp.minimum(bi, n_blocks - 1) * BLK_CHUNKS
+        if stream_lanes < feat_hbm.shape[1]:
+            # depth-free packed16 path: stream only the 4 payload lanes of
+            # the 8-lane stored rows — halves ring HBM traffic (the wide
+            # storage exists for the fused post-sort gather, not the kernel)
+            src_ref = feat_hbm.at[pl.ds(src, BLK_CHUNKS),
+                                  pl.ds(0, stream_lanes)]
+        else:
+            src_ref = feat_hbm.at[pl.ds(src, BLK_CHUNKS)]
         return pltpu.make_async_copy(
-            feat_hbm.at[pl.ds(src, BLK_CHUNKS)],
+            src_ref,
             ring.at[pl.ds((bi % NRING) * BLK_CHUNKS, BLK_CHUNKS)],
             sems.at[bi % NRING],
         )
@@ -681,7 +695,10 @@ def pad_chunk_major(feat_cm: Array) -> Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "alpha_clip", "early_stop", "packed16")
+    jax.jit,
+    static_argnames=(
+        "cfg", "alpha_clip", "early_stop", "packed16", "want_depth"
+    ),
 )
 def rasterize_cm_fwd(
     feat_cm: Array,
@@ -692,6 +709,7 @@ def rasterize_cm_fwd(
     early_stop: float = 1e-4,
     zbuf: Optional[Array] = None,
     packed16: bool = False,
+    want_depth: bool = True,
 ):
     """Pallas forward on chunk-major packed features.
 
@@ -708,10 +726,19 @@ def rasterize_cm_fwd(
     t_tiles = cfg.num_tiles
     p = cfg.pixels_per_tile
     n_rows = feat_cm.shape[1]
+    # training rows without a depth consumer: stream only the 4 payload
+    # lanes (lane 4 = f32 depth is needed for expected-depth output or
+    # z-buffer occlusion; lanes 5-7 are gather-alignment padding)
+    stream_lanes = (
+        PACKED16_ROWS
+        if packed16 and zbuf is None and not want_depth
+        else n_rows
+    )
     n_blocks = feat_cm.shape[0] // BLK_CHUNKS
     kernel = functools.partial(
         _fwd_kernel, cfg=cfg, alpha_clip=alpha_clip, early_stop=early_stop,
         has_zbuf=zbuf is not None, n_blocks=n_blocks, packed16=packed16,
+        stream_lanes=stream_lanes,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
     inputs = [feat_cm]
@@ -728,7 +755,7 @@ def rasterize_cm_fwd(
         out_specs=pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NRING * BLK_CHUNKS, n_rows, CHUNK), jnp.int32),
+            pltpu.VMEM((NRING * BLK_CHUNKS, stream_lanes, CHUNK), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((NRING,)),
         ],

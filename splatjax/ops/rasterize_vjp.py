@@ -98,7 +98,7 @@ def _bwd_kernel(
     feat_hbm, zeros_hbm, g_out_ref, out_saved_ref, *rest,
     # then: g_feat_hbm (aliased with zeros_hbm) + scratch
     cfg: TileConfig, alpha_clip, has_zbuf: bool, g_channels: int = 8,
-    packed16: bool = False,
+    packed16: bool = False, stream_lanes: int = 8,
 ):
     del zeros_hbm  # aliased storage for g_feat_hbm; only read via the alias
     if has_zbuf:
@@ -168,10 +168,17 @@ def _bwd_kernel(
         return astart + (c_done - 1 - i) * CHUNK
 
     def feat_dma(i):
-        # feat is chunk-major (n_chunks, 8, CHUNK); base_of is CHUNK-aligned
+        # feat is chunk-major (n_chunks, 8, CHUNK); base_of is CHUNK-aligned.
+        # With an image-level cotangent (g_d == 0) and no z-buffer, only the
+        # 4 payload lanes are read (see the fwd kernel's lane slicing).
+        if stream_lanes < feat_hbm.shape[1]:
+            src_ref = feat_hbm.at[base_of(i) // CHUNK].at[
+                pl.ds(0, stream_lanes)
+            ]
+        else:
+            src_ref = feat_hbm.at[base_of(i) // CHUNK]
         return pltpu.make_async_copy(
-            feat_hbm.at[base_of(i) // CHUNK],
-            feat_vmem.at[i % 2], sem_feat.at[i % 2],
+            src_ref, feat_vmem.at[i % 2], sem_feat.at[i % 2],
         )
 
     def gout_dma(i):
@@ -416,9 +423,12 @@ def _bwd_kernel(
     # DMA with the drain waits below
     @pl.when(in_grid & (n_cd > 0))
     def _():
+        if stream_lanes < feat_hbm.shape[1]:
+            nsrc = feat_hbm.at[nbase // CHUNK].at[pl.ds(0, stream_lanes)]
+        else:
+            nsrc = feat_hbm.at[nbase // CHUNK]
         pltpu.make_async_copy(
-            feat_hbm.at[nbase // CHUNK],
-            feat_vmem.at[0], sem_feat.at[0],
+            nsrc, feat_vmem.at[0], sem_feat.at[0],
         ).start()
 
     # drain the last (up to two) outstanding grad writes
@@ -462,9 +472,18 @@ def _bwd_pallas(
     p = cfg.pixels_per_tile
     k_pad = feat_cm.shape[0] * CHUNK
     gch = g_out.shape[-1]
+    # training backward (image-level cotangent, no z-buffer): the depth
+    # lane is consumed only through g_d == 0 terms, so stream the 4
+    # payload lanes of the 8-lane rows — halves the reverse-walk reads
+    stream_lanes = (
+        PACKED16_ROWS
+        if packed16 and zbuf is None and gch == 4
+        else feat_cm.shape[1]
+    )
     kernel = functools.partial(
         _bwd_kernel, cfg=cfg, alpha_clip=alpha_clip,
         has_zbuf=zbuf is not None, g_channels=gch, packed16=packed16,
+        stream_lanes=stream_lanes,
     )
     # fast mode (16-byte training rows) emits bf16-pair-PACKED grad rows
     fast = packed16
@@ -493,7 +512,7 @@ def _bwd_pallas(
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, feat_cm.shape[1], CHUNK), jnp.int32),  # feat
+            pltpu.VMEM((2, stream_lanes, CHUNK), jnp.int32),      # feat
             pltpu.VMEM((2, out_rows, CHUNK), out_dtype),      # g_new
             pltpu.VMEM((FEAT_PAD, CHUNK), jnp.float32),       # carry out
             pltpu.VMEM((FEAT_PAD, CHUNK), jnp.float32),       # carry in
@@ -563,7 +582,7 @@ def _bwd_rule(cfg, alpha_clip, early_stop, residuals, cotangents):
 rasterize_tiles.defvjp(_fwd_rule, _bwd_rule)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
 def rasterize_gathered(
     feat_n: Array,
     gid: Array,
@@ -580,6 +599,7 @@ def rasterize_gathered(
     alpha_clip: Optional[float] = None,
     early_stop: float = 1e-4,
     packed16: bool = False,
+    want_depth: bool = True,
 ):
     """Fused gather + rasterize with a single merged VJP.
 
@@ -607,17 +627,19 @@ def rasterize_gathered(
     return rasterize_cm_fwd(
         feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
         early_stop=early_stop, zbuf=zbuf, packed16=packed16,
+        want_depth=want_depth,
     )
 
 
 def _gathered_fwd_rule(feat_n, gid, starts, ends, cum, count, perm,
                        cum_d, count_d, overflow, zbuf,
-                       cfg, alpha_clip, early_stop, packed16):
+                       cfg, alpha_clip, early_stop, packed16, want_depth):
     pack = pack_feature_table16 if packed16 else pack_feature_table
     feat_cm = gather_chunk_major(pack(feat_n), gid)
     out = rasterize_cm_fwd(
         feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
         early_stop=early_stop, zbuf=zbuf, packed16=packed16,
+        want_depth=want_depth,
     )
     out_tiles, chunks_done = out
     res = (feat_cm, gid, starts, ends, cum, count, perm, cum_d, count_d,
@@ -641,9 +663,9 @@ def _grad_rows_to_gaussians(g_feat, gid, cum, count, perm, cum_d, count_d,
     )                                                  # (N, 16)
 
 
-def _gathered_bwd_rule(cfg, alpha_clip, early_stop, packed16, res,
-                       cotangents):
-    del early_stop
+def _gathered_bwd_rule(cfg, alpha_clip, early_stop, packed16, want_depth,
+                       res, cotangents):
+    del early_stop, want_depth
     (feat_cm, gid, starts, ends, cum, count, perm, cum_d, count_d,
      overflow, zbuf, out_tiles, chunks_done) = res
     g_out, _ = cotangents
@@ -724,9 +746,11 @@ def render_image_gathered(
     """
     pack = pack_feature_table16 if packed16 else pack_feature_table
     feat_cm = gather_chunk_major(pack(feat_n), gid)
+    # the assembled image consumes only r/g/b/T_final: never stream depth
     out_tiles, _ = rasterize_cm_fwd(
         feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
         early_stop=early_stop, zbuf=zbuf, packed16=packed16,
+        want_depth=False,
     )
     return _assemble_image(out_tiles, cfg, background)
 
@@ -739,6 +763,7 @@ def _image_fwd_rule(feat_n, gid, starts, ends, cum, count, perm,
     out_tiles, chunks_done = rasterize_cm_fwd(
         feat_cm, starts, ends, cfg, alpha_clip=alpha_clip,
         early_stop=early_stop, zbuf=zbuf, packed16=packed16,
+        want_depth=False,
     )
     img = _assemble_image(out_tiles, cfg, background)
     res = (feat_cm, gid, starts, ends, cum, count, perm, cum_d, count_d,

@@ -354,7 +354,7 @@ def _render_binned_impl(
         bins.gauss_id, bins.starts, bins.ends,
         bins.cum, bins.count, bins.perm, bins.cum_d, bins.count_d,
         bins.overflow, zbuf_tiles, cfg, alpha_clip, early_stop,
-        feature_bytes == 16,
+        feature_bytes == 16, return_depth,
     )
     img = tiles_to_image(out_tiles, cfg, background)
     depth = tiles_to_depth(out_tiles, cfg) if return_depth else None
