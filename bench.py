@@ -176,6 +176,27 @@ def main():
     t_fwdbwd = timeit(grad_fn, params)
     t_redraw = timeit(redraw_fn, scene_r)
 
+    # like-for-like trajectory vs rounds 1-2 (which benched the synthetic
+    # isotropic cloud): keep BOTH scenes' forward in the artifact so the
+    # series stays comparable across the round-3 fixture switch
+    syn = jax.device_put(
+        synthetic_scene(n, seed=7, extent=1.0, scale_range=(0.002, 0.008))
+    )
+    t_fwd_syn = timeit(lambda s: render(s, cam, **kwargs), syn)
+
+    # pixel-ratio ladder: the reference's own perf model is resolution
+    # scaling (pixelRatio, /root/reference/README.md:18, index.js:10-12);
+    # fps at 1.0 / 0.75 / 0.5 shows where 60 fps is already true.
+    ratio_fps = {}
+    for ratio in (0.75, 0.5):
+        cam_r = make_camera(
+            (0, 0, 2.8), (0, 0, 0),
+            width=int(width * ratio), height=int(height * ratio),
+        )
+        t_r = timeit(lambda p: render(p.to_scene(), cam_r, **kwargs), params)
+        ratio_fps[str(ratio)] = round(1.0 / t_r, 1)
+    ratio_fps["1.0"] = round(1.0 / t_fwd, 1)
+
     mpix = width * height / 1e6
     fwd_fps = 1.0 / t_fwd
     value = mpix / t_fwdbwd  # Mpix/s fwd+bwd (the BASELINE.json metric)
@@ -186,8 +207,10 @@ def main():
         "unit": "Mpix/s",
         "vs_baseline": round(fwd_fps / 60.0, 3),
         "fwd_ms": round(t_fwd * 1e3, 2),
+        "fwd_ms_synthetic": round(t_fwd_syn * 1e3, 2),
         "fwd_bwd_ms": round(t_fwdbwd * 1e3, 2),
         "fwd_fps": round(fwd_fps, 1),
+        "fwd_fps_pixel_ratio": ratio_fps,
         "redraw_ms": round(t_redraw * 1e3, 2),
         "redraw_fps": round(1.0 / t_redraw, 1),
         "train_feature_bytes": 16,

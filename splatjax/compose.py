@@ -50,7 +50,10 @@ class OpaqueLayer(NamedTuple):
 
 def merge_opaque_layers(layers: Sequence[OpaqueLayer]):
     """Per-pixel nearest-wins z-merge of opaque layers (the depth-buffer
-    resolve). Returns (rgb (H, W, 3), z (H, W), mask (H, W) bool)."""
+    resolve). Returns (rgb (H, W, 3), z (H, W), mask (H, W) bool).
+    Requires at least one layer."""
+    if not layers:
+        raise ValueError("merge_opaque_layers requires at least one layer")
     rgb = jnp.asarray(layers[0].rgb, jnp.float32)
     z = jnp.asarray(layers[0].z, jnp.float32)
     for layer in layers[1:]:
@@ -73,6 +76,7 @@ def compose_scene(
     capacity: Optional[int] = None,
     alpha_clip="auto",
     early_stop: float = 1e-4,
+    feature_bytes="auto",
 ) -> Array:
     """Depth-correct frame of many splat entities + many opaque layers.
 
@@ -82,6 +86,8 @@ def compose_scene(
       or None, the reference's per-entity cutoutEntity).
     opaque_layers: :class:`OpaqueLayer` sequence (may be empty).
     background: optional (3,) RGB under everything.
+    feature_bytes: packed instance-row width (16 = fast redraw rows,
+      NOT a parity mode; see splatjax.render.render).
 
     Returns (H, W, 4): splats blended front-to-back across ALL entities,
     culled against the merged opaque depth, over the merged opaque color,
@@ -94,7 +100,7 @@ def compose_scene(
     img = render_instances(
         splat_instances, camera,
         tile_size=tile_size, capacity=capacity, alpha_clip=alpha_clip,
-        early_stop=early_stop, zbuf=zbuf,
+        early_stop=early_stop, zbuf=zbuf, feature_bytes=feature_bytes,
     )
     if opaque_layers:
         # under-composite the opaque resolve only where it has coverage

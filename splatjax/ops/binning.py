@@ -353,27 +353,24 @@ def gaussian_tile_span(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "capacity", "exact_depth_sort", "with_features"),
+    static_argnames=("cfg", "capacity", "with_features"),
     donate_argnums=(),
 )
 def bin_gaussians(
     proj: ProjectedGaussians,
     cfg: TileConfig,
     capacity: int,
-    exact_depth_sort: bool = False,
     with_features: bool = True,
 ) -> BinnedInstances:
     """Build the sorted instance lists. ``capacity`` is the static K_cap.
 
     Ordering is always tile-major with *exact* f32 front-to-back depth
-    within each tile (the depth-compact expansion makes it free); the
-    ``exact_depth_sort`` flag is kept for API compatibility but is a no-op —
-    every mode is strictly finer than the reference worker's 2^16-bucket
-    counting sort (index.js:557-567).
+    within each tile (the depth-compact expansion makes it free) —
+    strictly finer than the reference worker's 2^16-bucket counting sort
+    (index.js:557-567).
     """
     from splatjax.ops import expand as expand_mod
 
-    del exact_depth_sort  # always exact now (see docstring)
     n = proj.mean2d.shape[0]
     if n == 0:  # empty scene: all-sentinel instances
         zero = jnp.zeros((), jnp.int32)
@@ -472,11 +469,11 @@ def bin_gaussians(
     )
     tbl_t = tbl_pad.T                      # (TBL_ROWS, Vpad): lanes = gaussians
 
-    # g at every window-DMA boundary (g(j) = #{r : cum_d[r] <= j}), clamped
-    # into the gap-free visible prefix. The expansion kernel only reads g
-    # at GROUP-subchunk granularity (SUB * GROUP instances per window DMA),
-    # so query at that stride — half the searchsorted scan cost.
-    stride = expand_mod.SUB * expand_mod.GROUP
+    # g at every program-DMA boundary (g(j) = #{r : cum_d[r] <= j}),
+    # clamped into the gap-free visible prefix. The expansion kernel only
+    # needs g at PROGRAM granularity (CHUNK instances per window DMA) —
+    # it derives the per-group anchors from the window's own cum row.
+    stride = expand_mod.CHUNK
     j_bounds = jnp.arange(
         0, cap_pad, stride, dtype=jnp.int32
     ).astype(jnp.float32)

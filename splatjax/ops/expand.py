@@ -18,14 +18,14 @@ dimension must be 128-aligned):
   * table is (TBL_ROWS, Vpad) — columns on sublanes, gaussians on LANES;
   * each window DMA grabs (TBL_ROWS, WINDOW) at a 128-aligned lane offset;
   * per 128-instance subchunk (instances on SUBLANES):
-        match[u, w] = (j_u < cum_incl[w])      # (128, WINDOW), monotone in w
-        sel         = match * (1 - shift(match))   # one-hot first-match
-        attrs       = sel @ window^T               # (128, 16) via MXU
+        sel[u, w] = (j_u >= cum_excl[w]) & (j_u < cum_incl[w])  # one-hot
+        attrs     = window @ sel^T                 # (16, 128) via MXU
     lanes w before g(j0) have cum_incl <= j0, so they never match — the
-    window may start anywhere at or before g(j0);
-  * per-chunk outputs accumulate as (128, 16) columns and are transposed to
-    the (16, 128) output block by an identity matmul (exact for integer
-    values < 2^24), avoiding unsupported layout shuffles.
+    window may start anywhere at or before g(j0). Contracting in the
+    (window, sel^T) orientation makes every per-instance quantity a
+    (1, 128) lane-major row — 1 vreg per VPU op in the limb-reassembly /
+    tile-arithmetic epilogue, and the (16, 128) result rows ARE the
+    output block rows (no transpose).
 
 Cost at 3M instances on v5e: ~2-3 ms, vs ~26 ms for the XLA scatter-add
 histogram + 3M-row table gather it replaces (round-1 stage measurements).
@@ -42,21 +42,27 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 SUB = 128                      # instances per subchunk (sublane axis)
-GROUP = 2                      # subchunks sharing one window DMA
+GROUP = 2                      # subchunks sharing one compare window
 SUBS_PER_CHUNK = 16
 CHUNK = SUB * SUBS_PER_CHUNK   # instances per grid step
-WINDOW = 384                   # lanes per window: GROUP consecutive
+WINDOW = 384                   # lanes per compare window: GROUP consecutive
                                # subchunks touch <= 127 (alignment slack)
                                # + GROUP*128 consecutive rows = 383.
-                               # GROUP=2/384 measured best on v5e (8.9 ms
-                               # at 3M instances): halving DMA count beat
-                               # narrower windows (GROUP=1/256 -> 12.6 ms);
-                               # GROUP=4/640 plateaus at the same 8.9.
                                # (A dynamic roll to lanes [0,128) would
                                # shrink compares 3x more, but Mosaic's
                                # rotated layout is consumed wrongly by the
                                # MXU on v5e — scratch/check_droll4_tpu.py.)
-PAD_G = WINDOW + SUB           # table pad so any window stays in bounds
+# The kernel was window-DMA-ISSUE bound at GROUP=2 (8 window DMAs per
+# 2048-instance program, ~12k sequenced issues/frame at 3M instances =
+# ~6 ms of the 8.6 ms kernel). Window offsets are MONOTONE across a
+# program's groups (sub_g0 is nondecreasing), so ONE program-wide DMA
+# fetches all 8 compare windows: the per-group windows become 128-aligned
+# dynamic VMEM slices of the big window. Worst-case span between a
+# program's first and last group boundary is (SUBS_PER_CHUNK - GROUP) *
+# SUB instances (g advances <= 1 per instance) + 127 alignment slack,
+# rounded up to a lane multiple, plus the last group's WINDOW.
+BIGWIN = (SUBS_PER_CHUNK - GROUP) * SUB + 128 + WINDOW   # 2304 lanes
+PAD_G = BIGWIN + SUB           # table pad so any window stays in bounds
 
 # Table row layout. Values that pass through the one-hot MXU contraction
 # must survive a bf16 input rounding (the fast single-pass MXU mode):
@@ -92,47 +98,69 @@ def _expand_kernel(
     # outputs
     tile_ref, gid_ref,
     # scratch
-    win_vmem, acc_tile, acc_gid, sems,
+    win_vmem, sems,
     *, tiles_x: int, num_tiles: int, n_gauss: int, vpad: int,
 ):
     i = pl.program_id(0)
     total_f = scal_ref[0].astype(jnp.float32)   # min(total, capacity)
     n_groups = SUBS_PER_CHUNK // GROUP
 
-    def win_off(prog, grp):
-        # sub_g0 is sampled at GROUP-subchunk (window-DMA) stride
-        g0 = sub_g0_ref[prog * (SUBS_PER_CHUNK // GROUP) + grp]
-        off = jnp.minimum((g0 // 128) * 128, vpad - WINDOW)
+    def big_off(prog):
+        # a program's groups share ONE window DMA anchored at the
+        # program's first instance boundary (offsets are monotone within
+        # a program; BIGWIN covers the worst-case span — see the
+        # constant's derivation). sub_g0 is PER-PROGRAM (CHUNK stride).
+        g0 = sub_g0_ref[prog]
+        off = jnp.minimum((g0 // 128) * 128, vpad - BIGWIN)
         return pl.multiple_of(off, 128)  # both operands are 128-multiples
 
-    def win_dma(prog, grp):
+    def big_dma(prog):
         # double-buffered on program parity: program p owns buffer p % 2
         return pltpu.make_async_copy(
-            tbl_hbm.at[:, pl.ds(win_off(prog, grp), WINDOW)],
-            win_vmem.at[prog % 2, grp], sems.at[prog % 2, grp],
+            tbl_hbm.at[:, pl.ds(big_off(prog), BIGWIN)],
+            win_vmem.at[prog % 2], sems.at[prog % 2],
         )
 
-    # This program's window DMAs were issued by the PREVIOUS grid program
-    # (epilogue prefetch below) so they overlap its compute; only the very
-    # first program self-issues. Measured on v5e: the per-program
-    # first-window stall was ~40% of the kernel before this.
+    # This program's window DMA was issued by the PREVIOUS grid program
+    # (prefetch below) so it overlaps its compute; only the very first
+    # program self-issues. One program-wide DMA instead of one per group:
+    # the 8-per-program small-window variant was DMA-issue bound (~12k
+    # sequenced issues/frame at 3M instances, ~6 of its 8.6 ms on v5e).
     @pl.when(i == 0)
     def _():
-        for grp in range(n_groups):
-            win_dma(0, grp).start()
+        big_dma(0).start()
 
-    # prefetch the NEXT program's whole window set before consuming ours
+    # prefetch the NEXT program's window before consuming ours
     @pl.when(i + 1 < pl.num_programs(0))
     def _():
-        for grp in range(n_groups):
-            win_dma(i + 1, grp).start()
+        big_dma(i + 1).start()
 
     base = i * CHUNK
     subl = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, SUB), 1)
+
+    big_dma(i).wait()
+    # per-group window anchors are derived IN KERNEL from the big window's
+    # own cum row (one lane-count per group) instead of a host-side
+    # searchsorted at group stride — the XLA searchsorted only answers
+    # PROGRAM-stride queries now (8x fewer, ~3 ms off the frame at 3M
+    # instances). cnt = #window lanes with cum_incl <= base_j equals
+    # g(base_j) - big_off exactly: every lane before the anchor has
+    # cum <= base_j (side='right' semantics), pads carry 2^24, and
+    # zero-instance tail gaussians hold cum == total > base_j for every
+    # VALID base_j (fully-invalid groups may inflate cnt, but all their
+    # instances are masked by j < total below).
+    cumi_big = win_vmem[i % 2, COL_CUM_INCL:COL_CUM_INCL + 1, :]
 
     for grp in range(n_groups):
-        win_dma(i, grp).wait()
-        win = win_vmem[i % 2, grp]                  # (TBL_ROWS, WINDOW)
+        # per-group compare window = 128-aligned dynamic slice of the big
+        # window: the count is clamped to [0, BIGWIN - WINDOW], and the
+        # anchor alignment is preserved (big_off is a 128-multiple).
+        base_j = jnp.float32(0) + (base + grp * GROUP * SUB)
+        cnt = jnp.sum((cumi_big <= base_j).astype(jnp.int32))
+        loc = jnp.minimum((cnt // 128) * 128, BIGWIN - WINDOW)
+        loc = pl.multiple_of(loc, 128)
+        win = win_vmem[i % 2, :, pl.ds(loc, WINDOW)]  # (TBL_ROWS, WINDOW)
         lim = win[COL_CUM_INCL:COL_CUM_INCL + 1, :]  # (1, WINDOW)
         # selection interval per lane: [cum_excl, cum_incl) = that
         # gaussian's instance id range, both carried in the table — no
@@ -147,53 +175,48 @@ def _expand_kernel(
             # rows; wide integers are reassembled from 8-bit limbs below.
             # (The full-range rows 3-4 also pass through and come out
             # rounded — they are only ever used in the compares above.)
+            # Contracting win x sel^T produces attrs TRANSPOSED (16, SUB):
+            # every downstream per-instance value becomes a (1, SUB)
+            # lane-major ROW (1 vreg/op on the VPU). The earlier
+            # (SUB, 16) orientation cost ~16 near-empty vregs per
+            # column slice — the per-instance epilogue dominated the
+            # whole kernel — and needed two HIGHEST-precision identity
+            # matmuls per program just to transpose the outputs.
             attrs = jax.lax.dot_general(
-                sel, win, (((1,), (1,)), ((), ())),
+                win, sel, (((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.DEFAULT,
                 preferred_element_type=jnp.float32,
-            )                                                  # (SUB, 16)
-            x0 = attrs[:, COL_X0:COL_X0 + 1]
-            y0 = attrs[:, COL_Y0:COL_Y0 + 1]
-            spanw = jnp.maximum(attrs[:, COL_SPANW:COL_SPANW + 1], 1.0)
+            )                                                  # (16, SUB)
+            x0 = attrs[COL_X0:COL_X0 + 1, :]                   # (1, SUB)
+            y0 = attrs[COL_Y0:COL_Y0 + 1, :]
+            spanw = jnp.maximum(attrs[COL_SPANW:COL_SPANW + 1, :], 1.0)
             ogid = (
-                attrs[:, COL_OGID_L0:COL_OGID_L0 + 1]
-                + 256.0 * attrs[:, COL_OGID_L1:COL_OGID_L1 + 1]
-                + 65536.0 * attrs[:, COL_OGID_L2:COL_OGID_L2 + 1]
+                attrs[COL_OGID_L0:COL_OGID_L0 + 1, :]
+                + 256.0 * attrs[COL_OGID_L1:COL_OGID_L1 + 1, :]
+                + 65536.0 * attrs[COL_OGID_L2:COL_OGID_L2 + 1, :]
             )
             cum_ex = (
-                attrs[:, COL_CUMEX_L0:COL_CUMEX_L0 + 1]
-                + 256.0 * attrs[:, COL_CUMEX_L1:COL_CUMEX_L1 + 1]
-                + 65536.0 * attrs[:, COL_CUMEX_L2:COL_CUMEX_L2 + 1]
+                attrs[COL_CUMEX_L0:COL_CUMEX_L0 + 1, :]
+                + 256.0 * attrs[COL_CUMEX_L1:COL_CUMEX_L1 + 1, :]
+                + 65536.0 * attrs[COL_CUMEX_L2:COL_CUMEX_L2 + 1, :]
             )
 
-            local = j - cum_ex
+            jrow = (base + s * SUB + lanes).astype(jnp.float32)  # (1, SUB)
+            local = jrow - cum_ex
             # integer div via f32: (local+0.5)/spanw lies strictly inside
             # (r, r+1) for integer operands, so floor is rounding-robust
             r = jnp.floor((local + 0.5) / spanw)
             tx = x0 + (local - r * spanw)
             ty = y0 + r
             tile = ty * tiles_x + tx
-            valid = j < total_f
-            acc_tile[:, s:s + 1] = jnp.where(valid, tile, float(num_tiles))
-            acc_gid[:, s:s + 1] = jnp.where(valid, ogid, float(n_gauss - 1))
-
-    # exact transpose (128, 16) -> (16, 128) on the MXU: B = I^T-contract(A)
-    eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
-    ).astype(jnp.float32)
-    tile_t = jax.lax.dot_general(
-        acc_tile[:, :], eye, (((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )                                               # (16, 128)
-    gid_t = jax.lax.dot_general(
-        acc_gid[:, :], eye, (((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    tile_ref[:, :] = tile_t.astype(jnp.int32)
-    gid_ref[:, :] = gid_t.astype(jnp.int32)
+            valid = jrow < total_f
+            # output rows ARE the subchunks: write (1, SUB) rows directly
+            tile_ref[s:s + 1, :] = jnp.where(
+                valid, tile, float(num_tiles)
+            ).astype(jnp.int32)
+            gid_ref[s:s + 1, :] = jnp.where(
+                valid, ogid, float(n_gauss - 1)
+            ).astype(jnp.int32)
 
 
 @functools.partial(
@@ -215,9 +238,9 @@ def expand_instances(
       >= n + PAD_G, pad lanes carrying CUM_INCL/CUM_EXCL > capacity and
       SPANW >= 1. Requires tiles_x <= 255 and tiles_y <= 255 (limb-exact
       bf16 bound; 16 px tiles cover images up to 4080 px per side).
-    sub_g0: (capacity/(SUB*GROUP),) int32 — g(j) at each window-DMA
-      boundary (SUB*GROUP instances), clamped into the gap-free visible
-      prefix.
+    sub_g0: (capacity/CHUNK,) int32 — g(j) at each program boundary
+      (CHUNK instances), clamped into the gap-free visible prefix (the
+      kernel derives per-group anchors from the window's cum row).
     total_clamped: () int32 — min(total instances, capacity).
     Returns (tile, gid) int32 arrays of shape (capacity,): tile==num_tiles
     and gid==n_real-1 mark the invalid tail (they sort after all real
@@ -230,7 +253,6 @@ def expand_instances(
         _expand_kernel, tiles_x=tiles_x, num_tiles=num_tiles,
         n_gauss=n_real, vpad=vpad,
     )
-    n_groups = SUBS_PER_CHUNK // GROUP
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(capacity // CHUNK,),
@@ -242,10 +264,8 @@ def expand_instances(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, n_groups, TBL_ROWS, WINDOW), jnp.float32),
-            pltpu.VMEM((SUB, SUBS_PER_CHUNK), jnp.float32),
-            pltpu.VMEM((SUB, SUBS_PER_CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, n_groups)),
+            pltpu.VMEM((2, TBL_ROWS, BIGWIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     tile, gid = pl.pallas_call(

@@ -26,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -110,6 +111,7 @@ def project_gaussians(
     cutout: Optional[Array] = None,
     sh: Optional[Array] = None,
     camera_pos: Optional[Array] = None,
+    support_eps: Optional[float] = None,
 ) -> ProjectedGaussians:
     """Project N Gaussians to screen space with all reference culls.
 
@@ -126,16 +128,26 @@ def project_gaussians(
         (index.js:533-540).
       sh / camera_pos: optional SH bands and camera world position for
         view-dependent color.
+      support_eps: optional opacity-aware support bound: a fragment is
+        invisible once exp(power) * opacity < eps, so the per-splat power
+        cutoff tightens from the shader's fixed 4 (index.js:172) to
+        t_eff = min(4, ln(opacity / eps)) and the binned bbox shrinks by
+        sqrt(t_eff / 4); splats with opacity <= eps are culled outright.
+        Every dropped fragment contributes alpha < eps, consistent with
+        the rasterizer's early_stop error budget (render passes
+        early_stop here). None (or 0) keeps the exact cutoff-4 support —
+        required for viewer parity.
     """
     return _project_f32(
         means, cov3d, colors, opacities, modelview, projection,
-        width, height, max_scales, cutout, sh, camera_pos,
+        width, height, max_scales, cutout, sh, camera_pos, support_eps,
     )
 
 
 def _project_f32(
     means, cov3d, colors, opacities, modelview, projection,
     width, height, max_scales, cutout, sh, camera_pos,
+    support_eps=None,
 ) -> ProjectedGaussians:
     means = jnp.asarray(means, jnp.float32)
     cov3d = jnp.asarray(cov3d, jnp.float32)
@@ -252,6 +264,22 @@ def _project_f32(
     )
 
     depth = z
+    if support_eps is not None and support_eps > 0.0:
+        # Opacity-aware support: exp(power) * opa < eps is invisible, so
+        # the effective cutoff is t_eff = min(4, ln(opa/eps)) and the
+        # ellipse extent scales by sqrt(t_eff/4). Index-only math
+        # (stop_gradient: bbox_half feeds no differentiable output; the
+        # double-where keeps sqrt's JVP finite at t_eff == 0).
+        t_eff = jnp.clip(
+            jnp.log(jnp.maximum(opacities, 1e-30))
+            - float(np.log(support_eps)),
+            0.0, 4.0,
+        )
+        pos = t_eff > 0.0
+        shrink = jnp.where(
+            pos, jnp.sqrt(jnp.where(pos, t_eff, 1.0) * 0.25), 0.0
+        )
+        bbox_half = bbox_half * jax.lax.stop_gradient(shrink)[:, None]
     if max_scales is None:
         max_scales = jnp.sqrt(
             jnp.maximum(
@@ -270,6 +298,9 @@ def _project_f32(
     )
 
     mask = in_frustum & size_keep
+    if support_eps is not None and support_eps > 0.0:
+        # a splat with opacity <= eps has every fragment below eps
+        mask = mask & (opacities > support_eps)
 
     if cutout is not None:
         p = means * jnp.array([1.0, -1.0, 1.0], dtype=jnp.float32)  # :533

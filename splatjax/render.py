@@ -64,9 +64,7 @@ def resolve_alpha_clip(alpha_clip, viewer_exact: bool) -> Optional[float]:
     return alpha_clip
 
 
-def resolve_feature_bytes(
-    feature_bytes, viewer_exact: bool, needs_depth: bool
-) -> int:
+def resolve_feature_bytes(feature_bytes, viewer_exact: bool) -> int:
     """Resolve the packed instance-row width (ops/rasterize.py).
 
     "auto" (default) = 32: full-precision rows, inside the 1e-3 viewer
@@ -76,6 +74,8 @@ def resolve_feature_bytes(
     edges of near-opaque splats (alpha-slope x 16-bit mean/conic steps) —
     the training default (FitConfig.feature_bytes) and an explicit
     speed/quality knob for interactive redraw, NOT a parity mode.
+    Training rows carry f32 depth, so return_depth/zbuf work in either
+    mode.
     """
     if isinstance(feature_bytes, str):
         if feature_bytes != "auto":
@@ -99,7 +99,7 @@ def resolve_feature_bytes(
     jax.jit,
     static_argnames=(
         "width", "height", "tile_size", "capacity",
-        "alpha_clip", "early_stop", "viewer_exact", "exact_depth_sort",
+        "alpha_clip", "early_stop", "viewer_exact",
         "return_depth", "feature_bytes",
     ),
 )
@@ -114,7 +114,6 @@ def _render_impl(
     alpha_clip: Optional[float],
     early_stop: float,
     viewer_exact: bool,
-    exact_depth_sort: bool,
     return_depth: bool,
     feature_bytes: int = 32,
 ):
@@ -128,12 +127,10 @@ def _render_impl(
         max_scales=jnp.max(scales, axis=-1),
         cutout=cutout,
         sh=sh,
+        support_eps=None if viewer_exact else early_stop,
     )
     cfg = TileConfig(width, height, tile_size, tile_size)
-    binned = bin_gaussians(
-        proj, cfg, capacity, exact_depth_sort=exact_depth_sort,
-        with_features=False,
-    )
+    binned = bin_gaussians(proj, cfg, capacity, with_features=False)
     zbuf_tiles = None if zbuf is None else zbuffer_to_tiles(zbuf, cfg)
     if not return_depth:
         # image-level fused VJP: the backward consumes the (H, W, 4)
@@ -151,6 +148,7 @@ def _render_impl(
         binned.gauss_id, binned.starts, binned.ends,
         binned.cum, binned.count, binned.perm, binned.cum_d, binned.count_d,
         binned.overflow, zbuf_tiles, cfg, alpha_clip, early_stop,
+        feature_bytes == 16, True,
     )
     img = tiles_to_image(out_tiles, cfg, background)
     depth = tiles_to_depth(out_tiles, cfg)
@@ -161,7 +159,7 @@ def _render_impl(
     jax.jit,
     static_argnames=(
         "width", "height", "tile_size", "capacity",
-        "alpha_clip", "early_stop", "return_depth",
+        "alpha_clip", "early_stop", "return_depth", "feature_bytes",
     ),
 )
 def _render_multi_impl(
@@ -172,6 +170,7 @@ def _render_multi_impl(
     *,
     width: int, height: int, tile_size: int, capacity: int,
     alpha_clip: Optional[float], early_stop: float, return_depth: bool,
+    feature_bytes: int = 32,
 ):
     projs = []
     for (means, scales, quats, colors, opacities, sh), model, cutout in zip(
@@ -182,7 +181,7 @@ def _render_multi_impl(
             means, build_covariances(quats, scales), colors, opacities,
             mv, projection, width, height,
             max_scales=jnp.max(scales, axis=-1),
-            cutout=cutout, sh=sh,
+            cutout=cutout, sh=sh, support_eps=early_stop,
         ))
     proj = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *projs
@@ -195,6 +194,7 @@ def _render_multi_impl(
         binned.gauss_id, binned.starts, binned.ends,
         binned.cum, binned.count, binned.perm, binned.cum_d, binned.count_d,
         binned.overflow, zbuf_tiles, cfg, alpha_clip, early_stop,
+        feature_bytes == 16, return_depth or zbuf is not None,
     )
     img = tiles_to_image(out_tiles, cfg, background)
     depth = tiles_to_depth(out_tiles, cfg) if return_depth else None
@@ -213,6 +213,7 @@ def render_instances(
     zbuf: Optional[Array] = None,
     return_depth: bool = False,
     return_overflow: bool = False,
+    feature_bytes="auto",
 ):
     """Render multiple scene instances depth-correctly in ONE pipeline pass.
 
@@ -228,6 +229,9 @@ def render_instances(
     instances: sequence of (scene, model) or (scene, model, cutout) tuples;
       model is an object->world (4, 4) matrix or None; cutout a
       world->unit-box matrix or None (per-instance, like cutoutEntity).
+    feature_bytes: packed instance-row width, as in :func:`render` —
+      16 gives interactive multi-entity scenes the fast redraw
+      configuration (NOT a parity mode).
     """
     norm = []
     total = 0
@@ -269,6 +273,7 @@ def render_instances(
         capacity=capacity,
         alpha_clip=resolve_alpha_clip(alpha_clip, False),
         early_stop=early_stop, return_depth=return_depth,
+        feature_bytes=resolve_feature_bytes(feature_bytes, False),
     )
     out = (img,)
     if return_depth:
@@ -304,13 +309,13 @@ def composite_over(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_size", "capacity",
-                     "viewer_exact"),
+                     "viewer_exact", "early_stop"),
 )
 def _bin_impl(
     means, scales, quats, colors, opacities, sh, modelview, projection,
     cutout,
     *, width: int, height: int, tile_size: int, capacity: int,
-    viewer_exact: bool,
+    viewer_exact: bool, early_stop: float = 1e-4,
 ):
     cov3d = build_covariances(quats, scales)
     if viewer_exact:
@@ -320,6 +325,7 @@ def _bin_impl(
         means, cov3d, colors, opacities, modelview, projection,
         width, height, max_scales=jnp.max(scales, axis=-1),
         cutout=cutout, sh=sh,
+        support_eps=None if viewer_exact else early_stop,
     )
     cfg = TileConfig(width, height, tile_size, tile_size)
     return bin_gaussians(proj, cfg, capacity, with_features=False)
@@ -369,6 +375,7 @@ def bin_scene(
     capacity: Optional[int] = None,
     viewer_exact: bool = False,
     cutout: Optional[Array] = None,
+    early_stop: float = 1e-4,
 ):
     """Build the tile-binned instance index for a (scene, view) pair.
 
@@ -393,7 +400,7 @@ def bin_scene(
         camera.modelview, camera.projection,
         None if cutout is None else jnp.asarray(cutout, jnp.float32),
         width=camera.width, height=camera.height, tile_size=tile_size,
-        capacity=capacity, viewer_exact=viewer_exact,
+        capacity=capacity, viewer_exact=viewer_exact, early_stop=early_stop,
     )
 
 
@@ -434,10 +441,7 @@ def render_binned(
         alpha_clip=resolve_alpha_clip(alpha_clip, viewer_exact),
         early_stop=early_stop, viewer_exact=viewer_exact,
         return_depth=return_depth,
-        feature_bytes=resolve_feature_bytes(
-            feature_bytes, viewer_exact,
-            needs_depth=return_depth or zbuf is not None,
-        ),
+        feature_bytes=resolve_feature_bytes(feature_bytes, viewer_exact),
     )
     return (img, depth) if return_depth else img
 
@@ -451,7 +455,6 @@ def render(
     alpha_clip="auto",
     early_stop: float = 1e-4,
     viewer_exact: bool = False,
-    exact_depth_sort: bool = False,
     cutout: Optional[Array] = None,
     background: Optional[Array] = None,
     zbuf: Optional[Array] = None,
@@ -477,10 +480,6 @@ def render(
         this (0.0 = exact back-to-front blend equivalence).
       viewer_exact: apply the viewer's int16 covariance quantization (and
         disable the auto alpha clamp).
-      exact_depth_sort: DEPRECATED no-op (kept one release for API
-        compatibility). In-tile order is always exact f32 front-to-back —
-        strictly finer than the reference worker's 2^16-bucket counting
-        sort (index.js:557-567).
       cutout: optional (4, 4) world->unit-box cull matrix.
       background: optional (3,) RGB composited under the splats.
       zbuf: optional (H, W) camera-z buffer of opaque geometry (row 0 top,
@@ -493,13 +492,13 @@ def render(
         modelview exactly as the reference folds object.matrixWorld
         (index.js:467-487); see render_instances for multi-instance frames.
       feature_bytes: packed width of the per-instance rows the kernels
-        move: 16 (fixed-point/bf16/RGBA8 training rows — halves the
-        dominant gather + DMA traffic), 32 (full-precision rows; carries
-        the depth channel), or "auto" (16 unless viewer_exact /
-        return_depth / zbuf require 32). The 16-byte quantization stays
-        inside the 1e-3 parity budget (module constants in
-        ops/rasterize.py; the reference itself renders from int16
-        covariance + RGBA8 textures, index.js:384-394).
+        move: "auto" (default) = 32, full-precision rows inside the 1e-3
+        viewer-parity budget; 16 selects the fixed-point/bf16/RGBA8
+        training rows — ~2x cheaper on the dominant gather + kernel DMA
+        traffic, but NOT a parity mode (edge error up to ~3e-2 on
+        near-opaque splats; the reference itself renders from int16
+        covariance + RGBA8 textures, index.js:384-394). Both widths carry
+        f32 depth, so return_depth/zbuf work in either mode.
     """
     if capacity is None:
         capacity = default_capacity(scene.num_gaussians)
@@ -531,12 +530,8 @@ def render(
         alpha_clip=resolve_alpha_clip(alpha_clip, viewer_exact),
         early_stop=early_stop,
         viewer_exact=viewer_exact,
-        exact_depth_sort=exact_depth_sort,
         return_depth=return_depth,
-        feature_bytes=resolve_feature_bytes(
-            feature_bytes, viewer_exact,
-            needs_depth=return_depth or zbuf is not None,
-        ),
+        feature_bytes=resolve_feature_bytes(feature_bytes, viewer_exact),
     )
     out = (img,)
     if return_depth:
@@ -544,3 +539,64 @@ def render(
     if return_overflow:
         out += (overflow,)
     return out[0] if len(out) == 1 else out
+
+
+def render_stereo(
+    scene: GaussianScene,
+    camera_left: Camera,
+    camera_right: Camera,
+    *,
+    xr_pixel_ratio: float = 0.5,
+    tile_size: int = 16,
+    capacity: Optional[int] = None,
+    alpha_clip="auto",
+    early_stop: float = 1e-4,
+    viewer_exact: bool = False,
+    feature_bytes="auto",
+    cutout: Optional[Array] = None,
+    background: Optional[Array] = None,
+    shared_bins: bool = False,
+):
+    """Render a stereo eye pair — the WebXR analogue.
+
+    The reference renders per-eye inside the browser's XR loop with the
+    framebuffer scaled by ``xrPixelRatio`` (default 0.5,
+    /root/reference/index.js:13-15) and ONE worker sort order shared by
+    both eyes (the worker sorts against a single view matrix per frame,
+    index.js:438-455). Here each eye renders through the exact tiled
+    pipeline at the scaled resolution; ``shared_bins=True`` additionally
+    reuses the LEFT eye's tile index for the right eye (the closest
+    analogue of the reference's shared per-frame order — exact ordering
+    per tile, but tile COVERAGE lags by the eye baseline's disparity, so
+    it is an approximation for small baselines, not a parity mode; our
+    tile index carries coverage, which the reference's instance order
+    does not).
+
+    Returns (img_left, img_right), each (H*ratio, W*ratio, 4).
+    """
+    def _scale(cam: Camera) -> Camera:
+        if xr_pixel_ratio == 1.0:
+            return cam
+        return Camera(
+            modelview=cam.modelview, projection=cam.projection,
+            width=max(int(cam.width * xr_pixel_ratio), 1),
+            height=max(int(cam.height * xr_pixel_ratio), 1),
+        )
+
+    cl, cr = _scale(camera_left), _scale(camera_right)
+    kw = dict(
+        tile_size=tile_size, alpha_clip=alpha_clip, early_stop=early_stop,
+        viewer_exact=viewer_exact, feature_bytes=feature_bytes,
+        cutout=cutout, background=background,
+    )
+    if shared_bins:
+        bins = bin_scene(
+            scene, cl, tile_size=tile_size, capacity=capacity,
+            viewer_exact=viewer_exact, cutout=cutout, early_stop=early_stop,
+        )
+        return (
+            render_binned(scene, cl, bins, **kw),
+            render_binned(scene, cr, bins, **kw),
+        )
+    full = dict(kw, capacity=capacity)
+    return render(scene, cl, **full), render(scene, cr, **full)

@@ -77,7 +77,7 @@ class SplatRenderer:
     alpha_clip: object = "auto"  # float | None | "auto" (see render())
     early_stop: float = 1e-4
     viewer_exact: bool = False
-    exact_depth_sort: bool = False
+    feature_bytes: object = "auto"  # 16 | 32 | "auto" (see render())
     tile_size: int = 16
     background: Optional[Array] = None
     progress: Optional[object] = None  # callback(StreamProgress)
@@ -166,15 +166,27 @@ class SplatRenderer:
                 width=max(int(camera.width * ratio), 1),
                 height=max(int(camera.height * ratio), 1),
             )
-        if self.resort_interval > 1 and not overrides:
-            return self._render_stale_order(camera)
+        if self.resort_interval > 1:
+            if not overrides:
+                return self._render_stale_order(camera)
+            # overrides force the exact per-frame path (the cached tile
+            # index cannot honor arbitrary render() kwargs); surface the
+            # semantics change instead of silently ignoring resort_interval
+            import warnings
+
+            warnings.warn(
+                "SplatRenderer.render(**overrides) bypasses the cached "
+                "stale-order tile index (resort_interval ignored): "
+                f"exact per-frame sort used for {sorted(overrides)}",
+                stacklevel=2,
+            )
         kw = dict(
             tile_size=self.tile_size,
             capacity=self.capacity,
             alpha_clip=self.alpha_clip,
             early_stop=self.early_stop,
             viewer_exact=self.viewer_exact,
-            exact_depth_sort=self.exact_depth_sort,
+            feature_bytes=self.feature_bytes,
             cutout=self.cutout,
             background=self.background,
         )
@@ -217,5 +229,6 @@ class SplatRenderer:
             self.scene, camera, self._bins,
             tile_size=self.tile_size, alpha_clip=self.alpha_clip,
             early_stop=self.early_stop, viewer_exact=self.viewer_exact,
+            feature_bytes=self.feature_bytes,
             cutout=self.cutout, background=self.background,
         )

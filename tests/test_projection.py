@@ -227,3 +227,72 @@ def test_from_three_camera_equivalence():
     mv = np.linalg.inv(mtx @ view)
     np.testing.assert_allclose(np.asarray(cam.projection), pm, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cam.modelview), mv, atol=1e-5)
+
+
+def test_opacity_aware_support_bound():
+    """support_eps tightens the binned bbox to the visibility ellipse
+    exp(power)*opa >= eps (t_eff = min(4, ln(opa/eps)), projection.py):
+    low-opacity splats span fewer tiles, opa <= eps splats are culled,
+    and the rendered image moves by at most ~a few eps (every dropped
+    fragment carries alpha < eps)."""
+    import jax
+
+    from splatjax.io import synthetic_scene
+    from splatjax.ops.binning import TileConfig, gaussian_tile_span
+    from splatjax.render import render as full_render
+
+    n = 256
+    scene = synthetic_scene(n, seed=21, extent=0.7, scale_range=(0.02, 0.08))
+    # force a wide opacity range incl. below-eps and barely-above-eps
+    opac = np.asarray(scene.opacities).copy()
+    opac[:64] = 5e-5            # <= eps: culled outright
+    opac[64:128] = 2e-3         # t_eff = ln(20) ~ 3.0 -> bbox shrink
+    scene = type(scene)(
+        means=scene.means, scales=scene.scales, quats=scene.quats,
+        colors=scene.colors, opacities=jnp.asarray(opac), sh=scene.sh,
+    )
+    cam = make_camera((0, 0, 2.4), (0, 0, 0), width=W, height=H)
+    cov3d = build_covariances(scene.quats, scene.scales)
+    # neutralize the worker's size*opacity cull (index.js:548) so the
+    # projection-level assertions isolate the support-bound logic
+    kw = dict(max_scales=jnp.full((n,), 10.0, jnp.float32))
+    p_exact = project_gaussians(
+        scene.means, cov3d, scene.colors, scene.opacities,
+        cam.modelview, cam.projection, W, H, **kw,
+    )
+    p_eps = project_gaussians(
+        scene.means, cov3d, scene.colors, scene.opacities,
+        cam.modelview, cam.projection, W, H, support_eps=1e-4, **kw,
+    )
+    # culled below eps
+    assert not bool(jnp.any(p_eps.mask[:64]))
+    # bbox shrink factor sqrt(t_eff/4) for the low-opacity band
+    t_eff = np.log(2e-3 / 1e-4)
+    np.testing.assert_allclose(
+        np.asarray(p_eps.bbox_half[64:128]),
+        np.asarray(p_exact.bbox_half[64:128]) * np.sqrt(t_eff / 4.0),
+        rtol=1e-5,
+    )
+    # full-opacity splats unchanged (ln(opa/eps) >= 4)
+    hi = np.asarray(scene.opacities) >= np.exp(4.0) * 1e-4
+    np.testing.assert_allclose(
+        np.asarray(p_eps.bbox_half[hi]), np.asarray(p_exact.bbox_half[hi])
+    )
+    cfg = TileConfig(W, H, 16, 16)
+    c_exact = int(jnp.sum(gaussian_tile_span(p_exact, cfg)[4]))
+    c_eps = int(jnp.sum(gaussian_tile_span(p_eps, cfg)[4]))
+    assert c_eps < c_exact
+    # image error bounded: render() applies support_eps = early_stop
+    a = np.asarray(full_render(scene, cam, early_stop=0.0, alpha_clip=None))
+    b = np.asarray(full_render(scene, cam, early_stop=1e-4, alpha_clip=None))
+    assert np.abs(a - b).max() < 2e-3
+    # gradients stay finite through the shrink (stop_gradient + double-
+    # where guard the sqrt at t_eff == 0)
+    from splatjax.scene import TrainableGaussians
+
+    params = TrainableGaussians.from_scene(scene)
+    g = jax.grad(
+        lambda p: jnp.sum(full_render(p.to_scene(), cam) ** 2)
+    )(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()

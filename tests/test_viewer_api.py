@@ -123,15 +123,85 @@ def test_feed_is_incremental_and_caps(tmp_path):
     assert r._parts == []
 
 
-def test_exact_depth_sort_reachable():
+def test_exact_depth_sort_removed():
+    # the deprecated no-op knob was kept one release (round 2-3) and is
+    # now gone: passing it must fail loudly, not silently change nothing
+    import pytest
+
     from splatjax.render import render
 
-    scene = synthetic_scene(150, seed=77, extent=0.6, scale_range=(0.02, 0.08))
+    scene = synthetic_scene(50, seed=77, extent=0.6, scale_range=(0.02, 0.08))
+    cam = make_camera((0, 0, 2.2), (0, 0, 0), width=32, height=32)
+    with pytest.raises(TypeError):
+        render(scene, cam, exact_depth_sort=True)
+
+
+def test_render_overrides_warn_and_bypass_cache():
+    # SplatRenderer.render(**overrides) cannot honor the cached stale-order
+    # index; the semantics change must be surfaced as a warning
+    import warnings
+
+    scene = synthetic_scene(120, seed=78, extent=0.6, scale_range=(0.02, 0.08))
+    cam = make_camera((0, 0, 2.2), (0, 0, 0), width=32, height=32)
+    r = SplatRenderer(scene=scene, resort_interval=4)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        img = r.render(cam, early_stop=0.0)
+        assert any("resort_interval" in str(x.message) for x in w)
+    assert img.shape == (32, 32, 4)
+    # no overrides -> cached path, no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r.render(cam)
+        assert not any("resort_interval" in str(x.message) for x in w)
+
+
+def test_renderer_feature_bytes_16():
+    # the interactive fast-row configuration is reachable from the
+    # SplatRenderer surface on both the exact and stale-order paths
+    scene = synthetic_scene(150, seed=79, extent=0.6, scale_range=(0.02, 0.08))
     cam = make_camera((0, 0, 2.2), (0, 0, 0), width=48, height=48)
-    a = np.asarray(render(scene, cam, early_stop=0.0))
-    b = np.asarray(render(scene, cam, early_stop=0.0, exact_depth_sort=True))
-    # quantized-key order (>= 2^14 depth buckets) vs exact f32 order: same
-    # image up to tie-order blending noise
-    assert np.abs(a - b).max() < 1e-3
-    r = SplatRenderer(scene=scene, exact_depth_sort=True)
-    assert r.render(cam).shape == (48, 48, 4)
+    a = np.asarray(SplatRenderer(scene=scene).render(cam))
+    b = np.asarray(
+        SplatRenderer(scene=scene, feature_bytes=16).render(cam)
+    )
+    c = np.asarray(
+        SplatRenderer(
+            scene=scene, feature_bytes=16, resort_interval=4
+        ).render(cam)
+    )
+    mse = float(np.mean((b - a) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= 40.0
+    np.testing.assert_allclose(b, c, atol=1e-6)
+
+
+def test_render_stereo_pair():
+    # WebXR analogue: per-eye render at xrPixelRatio-scaled resolution
+    # (index.js:13-15); shared_bins reuses the left eye's tile index like
+    # the reference's single per-frame sort order
+    from splatjax.camera import make_camera as mc
+    from splatjax.render import render, render_stereo
+
+    scene = synthetic_scene(200, seed=81, extent=0.6, scale_range=(0.02, 0.08))
+    baseline = 0.01
+    cl = mc((-baseline, 0, 2.4), (0, 0, 0), width=64, height=48)
+    cr = mc((+baseline, 0, 2.4), (0, 0, 0), width=64, height=48)
+    il, ir = render_stereo(scene, cl, cr, xr_pixel_ratio=0.5)
+    assert il.shape == (24, 32, 4) and ir.shape == (24, 32, 4)
+    # left eye equals a plain render at the scaled resolution
+    cl_s = mc((-baseline, 0, 2.4), (0, 0, 0), width=32, height=24)
+    np.testing.assert_allclose(
+        np.asarray(il), np.asarray(render(scene, cl_s)), atol=1e-6
+    )
+    # eyes see a (slightly) different image
+    assert np.abs(np.asarray(il) - np.asarray(ir)).max() > 1e-4
+    # shared-bins approximation stays close at a small baseline
+    sl, sr = render_stereo(
+        scene, cl, cr, xr_pixel_ratio=0.5, shared_bins=True
+    )
+    # (1e-4: render() and render_binned() fuse image assembly differently)
+    np.testing.assert_allclose(np.asarray(sl), np.asarray(il), atol=1e-4)
+    mse = float(np.mean((np.asarray(sr) - np.asarray(ir)) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= 30.0, psnr
