@@ -162,8 +162,8 @@ def main():
     from splatjax.render import bin_scene, render_binned  # noqa: E402
 
     scene_r = jax.device_put(params.to_scene())
-    bins = bin_scene(scene_r, cam, capacity=capacity)
-    jax.block_until_ready(bins.gauss_id)
+    bins = bin_scene(scene_r, cam, capacity=capacity, cache_params=True)
+    jax.block_until_ready(bins.bins.gauss_id)
 
     def redraw_fn(s):
         # render_binned dispatches one cached jit program per call

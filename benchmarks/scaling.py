@@ -69,21 +69,43 @@ def _cpu_part(args) -> dict:
 
     w, h = (int(v) for v in args.res.split("x"))
     d = args.devices
-    scene = synthetic_scene(args.n, seed=7, extent=1.0,
-                            scale_range=(0.002, 0.01))
-    cam = make_camera((0, 0, 2.8), (0, 0, 0), width=w, height=h)
+    # band balance on the TRAINED fixture (real 3DGS statistics), over
+    # several camera poses — one synthetic view under-represents how
+    # unevenly real scenes load the bands (round-3 verdict item 9)
+    try:
+        from splatjax.io import load_splat
+        from splatjax.scene import GaussianScene
+
+        base = load_splat(os.path.join(
+            ROOT, "tests", "fixtures", "trained_scene.splat"))
+        reps = -(-args.n // base.num_gaussians)
+        rng = np.random.default_rng(11)
+        offs = rng.uniform(-0.9, 0.9, (reps, 3)).astype(np.float32)
+        scene = GaussianScene(
+            means=jnp.concatenate(
+                [jnp.asarray(base.means) * 0.25 + o for o in offs]
+            )[: args.n],
+            scales=jnp.tile(jnp.asarray(base.scales) * 0.25,
+                            (reps, 1))[: args.n],
+            quats=jnp.tile(jnp.asarray(base.quats), (reps, 1))[: args.n],
+            colors=jnp.tile(jnp.asarray(base.colors), (reps, 1))[: args.n],
+            opacities=jnp.tile(jnp.asarray(base.opacities),
+                               reps)[: args.n],
+        )
+        scene_src = "trained fixture"
+    except Exception:
+        scene = synthetic_scene(args.n, seed=7, extent=1.0,
+                                scale_range=(0.002, 0.01))
+        scene_src = "synthetic (fixture unavailable)"
+    poses = [
+        ((0, 0, 2.8), (0, 0, 0)),
+        ((0.6, 0.3, 2.4), (0.1, 0, 0)),
+        ((-0.5, -0.4, 2.2), (0, 0.1, 0)),
+    ]
     mesh = make_mesh(d)
-
-    proj = project_gaussians(
-        scene.means, build_covariances(scene.quats, scene.scales),
-        scene.colors, scene.opacities, cam.modelview, cam.projection, w, h,
-        max_scales=jnp.max(jnp.asarray(scene.scales), axis=-1),
-    )
     cfg = TileConfig(w, h, 16, 16)
-    x0, x1, y0, y1, count = (np.asarray(v) for v in
-                             gaussian_tile_span(proj, cfg))
 
-    def band_split(n_bands):
+    def band_split(y0, y1, x0, x1, count, n_bands):
         rows_per_band = padded_band_height(h, n_bands, 16) // 16
         counts = []
         for b in range(n_bands):
@@ -95,18 +117,39 @@ def _cpu_part(args) -> dict:
         total = max(sum(counts), 1)
         return counts, max(counts) * n_bands / total
 
-    band_counts, balance = band_split(d)
-    _, balance2 = band_split(2 * d)
+    per_pose, per_pose2 = [], []
+    band_counts = None
+    for eye, target in poses:
+        cam = make_camera(eye, target, width=w, height=h)
+        proj = project_gaussians(
+            scene.means, build_covariances(scene.quats, scene.scales),
+            scene.colors, scene.opacities, cam.modelview, cam.projection,
+            w, h,
+            max_scales=jnp.max(jnp.asarray(scene.scales), axis=-1),
+        )
+        x0, x1, y0, y1, count = (np.asarray(v) for v in
+                                 gaussian_tile_span(proj, cfg))
+        counts, bal = band_split(y0, y1, x0, x1, count, d)
+        _, bal2 = band_split(y0, y1, x0, x1, count, 2 * d)
+        per_pose.append(round(bal, 3))
+        per_pose2.append(round(bal2, 3))
+        if band_counts is None:
+            band_counts = counts
 
+    cam = make_camera(*poses[0], width=w, height=h)
     img_s, overflow = render_sharded(
         scene, cam, mesh, early_stop=0.0, return_overflow=True
     )
     img_1 = render(scene, cam, early_stop=0.0)
     parity = float(jnp.abs(img_s - img_1).max())
     return {
+        "band_scene": scene_src,
         "band_instances": band_counts,
-        "band_balance_maxdev": round(balance, 3),
-        "band_balance_maxdev_2host": round(balance2, 3),
+        "band_balance_per_pose": per_pose,
+        "band_balance_per_pose_2host": per_pose2,
+        # conservative: the WORST pose sets the efficiency model
+        "band_balance_maxdev": max(per_pose),
+        "band_balance_maxdev_2host": max(per_pose2),
         "overflow_per_band": [int(v) for v in np.asarray(overflow)],
         "parity_vs_single_chip": parity,
     }
@@ -178,6 +221,14 @@ def main():
                     default=int(os.environ.get("SPLATJAX_SCALING_DEVS", "8")))
     ap.add_argument("--frame-ms", type=float, default=0.0,
                     help="fwd+bwd ms at 1M@1080p (default: newest BENCH_r*)")
+    ap.add_argument("--dcn-gbps", type=float, default=25.0,
+                    help="assumed per-host DCN bandwidth, GB/s. Default "
+                         "25 GB/s = a 200 Gbps-class host NIC; public "
+                         "v5e configurations ship 100-400 Gbps per host, "
+                         "so efficiency is also reported across a 4x "
+                         "band around this value (it is an INPUT here — "
+                         "no 2-host hardware exists in this environment "
+                         "to measure it)")
     ap.add_argument("--hlo-out", default="/tmp/splatjax_scaling_hlo.txt")
     ap.add_argument("--cpu-part", action="store_true",
                     help="internal: run the virtual-mesh measurements")
@@ -247,8 +298,9 @@ def main():
     overlap = bool(grad_ar) and all(c["async"] for c in grad_ar)
 
     # ---- 2-host efficiency: measured frame time x measured balance +
-    # HLO-exact DCN bytes at v5e DCN ~25 GB/s/host, NO overlap assumed
-    # unless the HLO schedule says so (``overlap`` above).
+    # HLO-exact DCN bytes at the --dcn-gbps INPUT bandwidth (see the CLI
+    # help for the source; a range is reported, not just a point), NO
+    # overlap assumed unless the HLO schedule says so (``overlap`` above).
     frame_ms, bench_src = (
         (args.frame_ms, "--frame-ms") if args.frame_ms
         else _latest_bench_frame_ms()
@@ -258,17 +310,29 @@ def main():
     # scale HLO bytes (compiled at args.n) to the 1M-splat frame the
     # measured frame_ms refers to: collective payloads are linear in N
     scale = 1e6 / max(args.n, 1)
-    dcn_ms = view_bytes * scale / 25e9 * 1e3
-    t1 = frame_ms * cpu["band_balance_maxdev"]
-    t2 = frame_ms / 2.0 * cpu["band_balance_maxdev_2host"] + (
-        0.0 if overlap else dcn_ms
-    )
-    eff_2host = t1 / (2.0 * t2)
+
+    def eff_at(gbps):
+        dcn_ms = view_bytes * scale / (gbps * 1e9) * 1e3
+        t1 = frame_ms * cpu["band_balance_maxdev"]
+        t2 = frame_ms / 2.0 * cpu["band_balance_maxdev_2host"] + (
+            0.0 if overlap else dcn_ms
+        )
+        return min(t1 / (2.0 * t2), 1.0), dcn_ms
+
+    eff_2host, dcn_ms = eff_at(args.dcn_gbps)
+    eff_lo, _ = eff_at(args.dcn_gbps / 4.0)   # 100 Gbps-class floor
+    eff_hi, _ = eff_at(args.dcn_gbps * 4.0)   # 400 Gbps-class ceiling
 
     result = {
         "metric": "2-host scaling efficiency (measured frame + HLO bytes)",
-        "value": round(min(eff_2host, 1.0), 3),
+        "value": round(eff_2host, 3),
         "unit": "x",
+        "dcn_gbps": args.dcn_gbps,
+        "efficiency_at_dcn_gbps": {
+            str(args.dcn_gbps / 4.0): round(eff_lo, 3),
+            str(args.dcn_gbps): round(eff_2host, 3),
+            str(args.dcn_gbps * 4.0): round(eff_hi, 3),
+        },
         "devices": args.devices,
         "frame_ms_source": bench_src,
         "frame_ms_1host": frame_ms,

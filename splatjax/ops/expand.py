@@ -27,8 +27,10 @@ dimension must be 128-aligned):
     tile-arithmetic epilogue, and the (16, 128) result rows ARE the
     output block rows (no transpose).
 
-Cost at 3M instances on v5e: ~2-3 ms, vs ~26 ms for the XLA scatter-add
-histogram + 3M-row table gather it replaces (round-1 stage measurements).
+Cost at 3M instances on v5e: 1.4 ms (round 4: transposed contraction +
+program-wide window DMA + in-kernel group anchors; 8.6 ms in round 3),
+vs ~26 ms for the XLA scatter-add histogram + 3M-row table gather it
+replaces (round-1 stage measurements).
 """
 from __future__ import annotations
 

@@ -128,6 +128,9 @@ def _band_render_body(
         width=width, height=height,
         max_scales=jnp.max(scales, axis=-1),
         sh=sh if sh.shape[1] > 0 else None,
+        # same opacity-aware support bound as the single-chip render()
+        # (early_stop=0.0 disables it, keeping exact-parity runs exact)
+        support_eps=early_stop if early_stop > 0.0 else None,
     )
     packed = _pack_projected(proj_local)              # (n_loc, 13)
     pair_drop = jnp.zeros((n_dev,), jnp.int32)

@@ -221,6 +221,7 @@ class SplatRenderer:
                 self.scene, camera,
                 tile_size=self.tile_size, capacity=self.capacity,
                 viewer_exact=self.viewer_exact, cutout=self.cutout,
+                early_stop=self.early_stop, cache_params=True,
             )
             self._bins_key = key
             self._frames_since_sort = 0

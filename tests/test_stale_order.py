@@ -76,3 +76,31 @@ def test_splat_renderer_resort_cache_invalidated_on_scene_mutation():
     fresh = np.asarray(combined.render(cam))
     np.testing.assert_allclose(after, fresh, atol=5e-5)
     assert np.abs(after - before).max() > 1e-3  # new splats visible
+
+
+def test_cached_param_bins_match_gather_path():
+    """bin_scene(cache_params=True) redraws project pre-gathered
+    per-instance parameters directly (no per-frame feature gather) and
+    must match the gather-path redraw bit-for-bit-close on the same
+    camera, in both row widths, and under small camera motion."""
+    import numpy as np
+
+    from splatjax.camera import make_camera
+    from splatjax.io import synthetic_scene
+    from splatjax.render import CachedBins, bin_scene, render_binned
+
+    scene = synthetic_scene(400, seed=31, extent=0.7,
+                            scale_range=(0.02, 0.07))
+    cam = make_camera((0.1, -0.1, 2.4), (0, 0, 0), width=96, height=64)
+    plain = bin_scene(scene, cam)
+    cached = bin_scene(scene, cam, cache_params=True)
+    assert isinstance(cached, CachedBins)
+    for fb in (32, 16):
+        a = np.asarray(render_binned(scene, cam, plain, feature_bytes=fb))
+        b = np.asarray(render_binned(scene, cam, cached, feature_bytes=fb))
+        np.testing.assert_allclose(b, a, atol=1e-6)
+    # small camera motion: both paths shade fresh against stale bins
+    cam2 = make_camera((0.12, -0.1, 2.4), (0, 0, 0), width=96, height=64)
+    a = np.asarray(render_binned(scene, cam2, plain))
+    b = np.asarray(render_binned(scene, cam2, cached))
+    np.testing.assert_allclose(b, a, atol=1e-6)
