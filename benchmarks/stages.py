@@ -155,6 +155,22 @@ def main():
         # fresh projection + gather + rasterize + assembly, stale binning
         return tiles_to_image(_rast(features_from_projection(proj), b), cfg)
 
+    # cached-params redraw (bin_scene(cache_params=True)): per-instance
+    # projection replaces the per-frame feature gather entirely
+    from splatjax.render import bin_scene, render_binned  # noqa: E402
+    from splatjax.scene import GaussianScene  # noqa: E402
+
+    scene_dev = jax.device_put(scene)
+    cbins = bin_scene(scene_dev, cam, capacity=cap,
+                      cache_params=True)
+    jax.block_until_ready(cbins.bins.gauss_id)
+
+    def stage_frame_cached(s):
+        return render_binned(
+            s, cam, cbins, alpha_clip=0.999, early_stop=1e-4,
+            feature_bytes=args.fb,
+        )
+
     result = {
         "n": args.n,
         "res": args.res,
@@ -166,6 +182,7 @@ def main():
         "gather_rasterize_fwd_ms": timeit(stage_rast, proj, b),
         "assembly_ms": timeit(stage_img, out_tiles),
         "stale_order_frame_ms": timeit(stage_frame_stale, proj, b),
+        "cached_redraw_frame_ms": timeit(stage_frame_cached, scene_dev),
         "gather_rasterize_fwd_bwd_ms": timeit(rast_grad, proj, b),
         "device": str(jax.devices()[0]),
     }

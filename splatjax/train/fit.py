@@ -44,6 +44,12 @@ class FitConfig:
     # the quantized forward (ops/rasterize.py PACKED16 docs). Set 32 for
     # full-precision rows.
     feature_bytes: int = 16
+    # Steps folded into one jitted lax.scan dispatch. Math-identical to
+    # k sequential steps (same per-view order); amortizes the per-dispatch
+    # host/tunnel latency (~10-14 ms on the axon tunnel) so training runs
+    # at device speed — the standard TPU multi-step pattern. Densify
+    # granularity becomes k steps (densify.every should be a multiple).
+    steps_per_call: int = 1
 
 
 def _optimizer(cfg: FitConfig) -> optax.GradientTransformation:
@@ -96,8 +102,7 @@ def make_train_step(
         )
         return combined_loss(img, target, ssim_weight=cfg.ssim_weight), img
 
-    @jax.jit
-    def step(params, opt_state, modelview, projection, target):
+    def one_step(params, opt_state, modelview, projection, target):
         (loss, img), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, modelview, projection, target
         )
@@ -106,7 +111,31 @@ def make_train_step(
         gnorm = jnp.linalg.norm(grads.means, axis=-1)  # densify signal
         return params, opt_state, loss, psnr(img, target), gnorm
 
-    return step, opt
+    if cfg.steps_per_call <= 1:
+        return jax.jit(one_step), opt
+
+    @jax.jit
+    def step_scan(params, opt_state, mvs, prs, targets):
+        """k = cfg.steps_per_call sequential steps in ONE dispatch.
+
+        mvs/prs: (k, 4, 4); targets: (k, H, W, 4). Returns the LAST
+        step's loss/psnr and the SUM of the k per-step gnorm vectors
+        (the densify accumulator adds k to its count)."""
+        def body(carry, xs):
+            params, opt_state = carry
+            mv, pr, target = xs
+            params, opt_state, loss, p, gnorm = one_step(
+                params, opt_state, mv, pr, target
+            )
+            return (params, opt_state), (loss, p, gnorm)
+
+        (params, opt_state), (losses, ps, gnorms) = jax.lax.scan(
+            body, (params, opt_state), (mvs, prs, targets)
+        )
+        return (params, opt_state, losses[-1], ps[-1],
+                jnp.sum(gnorms, axis=0))
+
+    return step_scan, opt
 
 
 def make_dp_train_step(
@@ -290,10 +319,17 @@ def fit(
     projs = [c.projection for c in cameras]
     targets = [jnp.asarray(t[..., :4], jnp.float32) for t in targets]
 
+    k = cfg.steps_per_call if mesh is None else 1
+    if k > 1 and densify is not None:
+        raise ValueError(
+            "steps_per_call > 1 is incompatible with densify (the "
+            "clone/split/prune pass needs per-step python control); set "
+            "steps_per_call=1 or drop densify"
+        )
     history = []
     drops = None
     t_start = time.time()
-    for i in range(start_step, cfg.steps):
+    for i in range(start_step, cfg.steps, k):
         if mesh is not None:
             # data-parallel: the next n_dp views round-robin, one per device
             vis = [(i * n_dp + j) % len(cameras) for j in range(n_dp)]
@@ -307,6 +343,16 @@ def fit(
                 params, opt_state, loss, p, gnorm, drops = out
             else:
                 params, opt_state, loss, p, gnorm = out
+        elif k > 1:
+            # k sequential views in one scanned dispatch (same round-robin
+            # order as k separate steps — math-identical)
+            vis = [(i + j) % len(cameras) for j in range(k)]
+            params, opt_state, loss, p, gnorm = step_fn(
+                params, opt_state,
+                jnp.stack([mvs[v] for v in vis]),
+                jnp.stack([projs[v] for v in vis]),
+                jnp.stack([targets[v] for v in vis]),
+            )
         else:
             vi = i % len(cameras)
             params, opt_state, loss, p, gnorm = step_fn(
@@ -331,7 +377,10 @@ def fit(
                 grad_cnt = np.zeros((n_rows,), np.int64)
                 if log_fn is not None:
                     log_fn({"step": i, "densify": rep})
-        if cfg.log_every and (i % cfg.log_every == 0 or i == cfg.steps - 1):
+        if cfg.log_every and (
+            (i // k) % max(cfg.log_every // k, 1) == 0
+            or i + k >= cfg.steps
+        ):
             rec = {
                 "step": i,
                 "loss": float(loss),
@@ -343,7 +392,7 @@ def fit(
             history.append(rec)
             if log_fn is not None:
                 log_fn(rec)
-        done = i + 1
+        done = i + k
         if mgr is not None and checkpoint_every and (
             done % checkpoint_every == 0 or done == cfg.steps
         ):

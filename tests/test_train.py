@@ -204,3 +204,37 @@ def test_densify_budget_saturation_keeps_coverage():
     assert rep3["alive"] == n + 1
     assert rep3["dropped_children"] == 2 * n - 2
     assert int(alive3.sum()) == n + 1
+
+
+def test_steps_per_call_scan_is_step_identical():
+    """A scanned k-step dispatch (FitConfig.steps_per_call) must be
+    math-identical to k sequential single-step dispatches: same view
+    order, same optimizer states, same final parameters."""
+    import numpy as np
+
+    from splatjax.camera import make_camera
+    from splatjax.io import synthetic_scene
+    from splatjax.render import render
+    from splatjax.train import FitConfig, fit
+
+    scene = synthetic_scene(120, seed=17, extent=0.6,
+                            scale_range=(0.02, 0.08))
+    cams = [
+        make_camera((0.3 * i - 0.3, 0, 2.4), (0, 0, 0), width=32, height=24)
+        for i in range(3)
+    ]
+    targets = [np.asarray(render(scene, c)) for c in cams]
+    base = dict(steps=6, log_every=2)
+    p1, h1 = fit(scene, cams, targets, FitConfig(**base, steps_per_call=1))
+    p2, h2 = fit(scene, cams, targets, FitConfig(**base, steps_per_call=3))
+    np.testing.assert_allclose(
+        np.asarray(p1.means), np.asarray(p2.means), rtol=0, atol=1e-6
+    )
+    # same ops, but XLA fuses the scanned body differently than the
+    # standalone step, so high-lr leaves (opacity Adam at 5e-2, division
+    # by sqrt(v)+eps) accumulate ~1e-4 of reassociation noise over 6 steps
+    np.testing.assert_allclose(
+        np.asarray(p1.logit_opacities), np.asarray(p2.logit_opacities),
+        rtol=0, atol=1e-3,
+    )
+    assert abs(h1[-1]["loss"] - h2[-1]["loss"]) < 1e-5
