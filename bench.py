@@ -177,10 +177,11 @@ def main():
     t_redraw = timeit(redraw_fn, scene_r)
 
     # steady-state training throughput: 8 chained grad steps inside ONE
-    # jitted lax.scan (the FitConfig.steps_per_call production pattern) —
-    # amortizes the axon tunnel's per-dispatch latency (~10-14 ms, absent
-    # on directly-attached TPUs) so the number reflects device time. The
-    # tiny param nudge chains the iterations (prevents CSE) without
+    # jitted lax.scan (the FitConfig.steps_per_call production pattern).
+    # MEASURED equal to the single-dispatch number on this tunnel (round
+    # 4: 116.3 vs 116.0 ms) — dispatch pipelines with execution, so the
+    # per-dispatch wall time IS device time; kept as the evidence field.
+    # The tiny param nudge chains the iterations (prevents CSE) without
     # changing the work.
     SCAN_K = 8
 
@@ -227,6 +228,21 @@ def main():
                bins.max_scales, bins.bins)
     t_redraw_steady = timeit(redraw_scan, orbit_mvs, cb_args) / SCAN_K
 
+    # steady-state exact forward: 8 chained full-pipeline frames in one
+    # dispatch (same device work as fwd_ms without the tunnel's per-
+    # dispatch latency)
+    def _fwd_body(p, _):
+        img = fwd(p)
+        p = jax.tree_util.tree_map(
+            lambda a: a + 1e-30 * img[0, 0, 0], p
+        )
+        return p, None
+
+    fwd_scan = jax.jit(
+        lambda p: jax.lax.scan(_fwd_body, p, None, length=SCAN_K)[0]
+    )
+    t_fwd_steady = timeit(fwd_scan, params) / SCAN_K
+
     # like-for-like trajectory vs rounds 1-2 (which benched the synthetic
     # isotropic cloud): keep BOTH scenes' forward in the artifact so the
     # series stays comparable across the round-3 fixture switch
@@ -250,19 +266,16 @@ def main():
 
     mpix = width * height / 1e6
     fwd_fps = 1.0 / t_fwd
-    # headline Mpix/s: steady-state per-chip training throughput (scan-8,
-    # the production dispatch pattern); the single-dispatch figure is
-    # emitted alongside for the dispatch-latency-inclusive view
-    value = mpix / t_fwdbwd_steady
-    value_single = mpix / t_fwdbwd
+    value = mpix / t_fwdbwd  # Mpix/s fwd+bwd (the BASELINE.json metric)
 
     result = {
         "metric": f"fwd+bwd Mpix/s/chip @{n} splats {width}x{height}",
         "value": round(value, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(fwd_fps / 60.0, 3),
-        "value_single_dispatch": round(value_single, 2),
         "fwd_ms": round(t_fwd * 1e3, 2),
+        "fwd_ms_steady": round(t_fwd_steady * 1e3, 2),
+        "fwd_fps_steady": round(1.0 / t_fwd_steady, 1),
         "fwd_ms_synthetic": round(t_fwd_syn * 1e3, 2),
         "fwd_bwd_ms": round(t_fwdbwd * 1e3, 2),
         "fwd_bwd_ms_steady": round(t_fwdbwd_steady * 1e3, 2),

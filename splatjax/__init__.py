@@ -13,11 +13,13 @@ from splatjax.scene import (
 )
 from splatjax.camera import Camera, make_camera, perspective, look_at
 from splatjax.render import (
+    CachedBins,
     bin_scene,
     composite_over,
     render,
     render_binned,
     render_instances,
+    render_stereo,
 )
 from splatjax.compose import OpaqueLayer, compose_scene, merge_opaque_layers
 from splatjax import io
@@ -31,7 +33,9 @@ __all__ = [
     "Camera",
     "render",
     "render_binned",
+    "render_stereo",
     "bin_scene",
+    "CachedBins",
     "render_instances",
     "composite_over",
     "OpaqueLayer",
