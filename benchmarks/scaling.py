@@ -141,7 +141,14 @@ def _cpu_part(args) -> dict:
         scene, cam, mesh, early_stop=0.0, return_overflow=True
     )
     img_1 = render(scene, cam, early_stop=0.0)
-    parity = float(jnp.abs(img_s - img_1).max())
+    diff = np.abs(np.asarray(img_s) - np.asarray(img_1))
+    # real scenes can hold EXACTLY-equal f32 depths (tiled assets, shared
+    # geometry); stable tie order differs between the global and the
+    # band-local depth sorts, so isolated pixels may legitimately differ
+    # (the reference's 2^16-bucket worker sort has far coarser ties).
+    # Report the max AND how many pixels exceed the 1e-3 budget.
+    parity = float(diff.max())
+    parity_pixels = int((diff.max(-1) > 1e-3).sum())
     return {
         "band_scene": scene_src,
         "band_instances": band_counts,
@@ -152,6 +159,7 @@ def _cpu_part(args) -> dict:
         "band_balance_maxdev_2host": max(per_pose2),
         "overflow_per_band": [int(v) for v in np.asarray(overflow)],
         "parity_vs_single_chip": parity,
+        "parity_pixels_above_1e3": parity_pixels,
     }
 
 

@@ -2,6 +2,7 @@
 band-sharded rendering matches the single-chip pipeline, and gradients
 (all_gather transpose -> psum of splat grads) match single-chip autodiff.
 """
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -409,3 +410,49 @@ def test_fit_routes_to_composed_2d_mesh():
     with pytest.raises(ValueError, match="band-axis"):
         fit(bad, cams, targets, FitConfig(steps=1, capacity=2048),
             mesh=mesh, dp_axis="view", band_axis="band")
+
+
+def test_band_render_trained_fixture_no_drops():
+    """Real trained scenes load bands ~2x unevenly; the default per-pair
+    transfer capacity must absorb that without drops (the round-3 3x
+    default silently dropped ~3% of this fixture's instances). Parity vs
+    the single-chip render is exact except possibly isolated pixels where
+    EXACTLY-equal f32 depths tie-break differently between the global and
+    band-local stable sorts."""
+    import numpy as np
+
+    from splatjax.camera import make_camera
+    from splatjax.io import load_splat
+    from splatjax.parallel import make_mesh, render_sharded
+    from splatjax.render import render
+    from splatjax.scene import GaussianScene
+
+    base = load_splat(
+        os.path.join(os.path.dirname(__file__), "fixtures",
+                     "trained_scene.splat")
+    )
+    n = 40_000
+    reps = -(-n // base.num_gaussians)
+    rng = np.random.default_rng(11)
+    offs = rng.uniform(-0.9, 0.9, (reps, 3)).astype(np.float32)
+    scene = GaussianScene(
+        means=jnp.concatenate(
+            [jnp.asarray(base.means) * 0.25 + o for o in offs]
+        )[:n],
+        scales=jnp.tile(jnp.asarray(base.scales) * 0.25, (reps, 1))[:n],
+        quats=jnp.tile(jnp.asarray(base.quats), (reps, 1))[:n],
+        colors=jnp.tile(jnp.asarray(base.colors), (reps, 1))[:n],
+        opacities=jnp.tile(jnp.asarray(base.opacities), reps)[:n],
+    )
+    # 512 px: bands are 64 px (4 tile rows) — the narrowest realistic
+    # band height (at 256 px the 32 px bands make MAX_BANDS=4 span cuts
+    # legitimate, which return_overflow surfaces by design)
+    cam = make_camera((0, 0, 2.8), (0, 0, 0), width=512, height=512)
+    mesh = make_mesh(8)
+    img_s, overflow = render_sharded(
+        scene, cam, mesh, early_stop=0.0, return_overflow=True
+    )
+    assert int(np.asarray(overflow).sum()) == 0
+    img_1 = render(scene, cam, early_stop=0.0)
+    diff = np.abs(np.asarray(img_s) - np.asarray(img_1)).max(-1)
+    assert int((diff > 1e-3).sum()) <= 3, (diff.max(), (diff > 1e-3).sum())
