@@ -55,8 +55,7 @@ def main():
             n, seed=7, extent=1.0, scale_range=(0.002, 0.008)
         )
     else:
-        from splatjax.io import load_splat  # noqa: E402
-        from splatjax.scene import GaussianScene  # noqa: E402
+        from splatjax.io import load_splat, tile_scene  # noqa: E402
 
         here = (
             os.path.dirname(os.path.abspath(__file__))
@@ -65,19 +64,7 @@ def main():
         path = src if src != "trained" else os.path.join(
             here, "tests", "fixtures", "trained_scene.splat"
         )
-        base = load_splat(path)
-        reps = -(-n // base.num_gaussians)
-        rng = np.random.default_rng(11)
-        offs = rng.uniform(-0.9, 0.9, (reps, 3)).astype(np.float32)
-        scene = GaussianScene(
-            means=jnp.concatenate(
-                [base.means * 0.25 + o for o in offs]
-            )[:n],
-            scales=jnp.tile(base.scales * 0.25, (reps, 1))[:n],
-            quats=jnp.tile(base.quats, (reps, 1))[:n],
-            colors=jnp.tile(base.colors, (reps, 1))[:n],
-            opacities=jnp.tile(base.opacities, reps)[:n],
-        )
+        scene = tile_scene(load_splat(path), n)
     cam = make_camera((0, 0, 2.8), (0, 0, 0), width=width, height=height)
     # device_put: passthrough leaves (means, quats) would otherwise stay
     # NumPy and be re-uploaded on every call (~28 MB/frame over the tunnel)

@@ -73,24 +73,12 @@ def _cpu_part(args) -> dict:
     # several camera poses — one synthetic view under-represents how
     # unevenly real scenes load the bands (round-3 verdict item 9)
     try:
-        from splatjax.io import load_splat
-        from splatjax.scene import GaussianScene
+        from splatjax.io import load_splat, tile_scene
 
-        base = load_splat(os.path.join(
-            ROOT, "tests", "fixtures", "trained_scene.splat"))
-        reps = -(-args.n // base.num_gaussians)
-        rng = np.random.default_rng(11)
-        offs = rng.uniform(-0.9, 0.9, (reps, 3)).astype(np.float32)
-        scene = GaussianScene(
-            means=jnp.concatenate(
-                [jnp.asarray(base.means) * 0.25 + o for o in offs]
-            )[: args.n],
-            scales=jnp.tile(jnp.asarray(base.scales) * 0.25,
-                            (reps, 1))[: args.n],
-            quats=jnp.tile(jnp.asarray(base.quats), (reps, 1))[: args.n],
-            colors=jnp.tile(jnp.asarray(base.colors), (reps, 1))[: args.n],
-            opacities=jnp.tile(jnp.asarray(base.opacities),
-                               reps)[: args.n],
+        scene = tile_scene(
+            load_splat(os.path.join(
+                ROOT, "tests", "fixtures", "trained_scene.splat")),
+            args.n,
         )
         scene_src = "trained fixture"
     except Exception:

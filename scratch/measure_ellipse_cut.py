@@ -30,23 +30,12 @@ from splatjax.scene import build_covariances  # noqa: E402
 
 
 def load_bench_scene(n=1_000_000):
-    from splatjax.io import load_splat
-    from splatjax.scene import GaussianScene
+    from splatjax.io import load_splat, tile_scene
 
     here = os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(here, "..", "tests", "fixtures",
                         "trained_scene.splat")
-    base = load_splat(path)
-    reps = -(-n // base.num_gaussians)
-    rng = np.random.default_rng(11)
-    offs = rng.uniform(-0.9, 0.9, (reps, 3)).astype(np.float32)
-    return GaussianScene(
-        means=jnp.concatenate([base.means * 0.25 + o for o in offs])[:n],
-        scales=jnp.tile(base.scales * 0.25, (reps, 1))[:n],
-        quats=jnp.tile(base.quats, (reps, 1))[:n],
-        colors=jnp.tile(base.colors, (reps, 1))[:n],
-        opacities=jnp.tile(base.opacities, reps)[:n],
-    )
+    return tile_scene(load_splat(path), n)
 
 
 def rect_qmin(mx, my, ca, cb, cc, ax0, ax1, ay0, ay1):

@@ -18,20 +18,13 @@ from splatjax.scene import GaussianScene, build_covariances
 from splatjax.ops.projection import project_gaussians
 from splatjax.ops.binning import TileConfig, gaussian_tile_span
 
+from splatjax.io import tile_scene
+
 here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 base = load_splat(os.path.join(here, "tests", "fixtures",
                                "trained_scene.splat"))
 n = 1_000_000
-reps = -(-n // base.num_gaussians)
-rng = np.random.default_rng(11)
-offs = rng.uniform(-0.9, 0.9, (reps, 3)).astype(np.float32)
-scene = GaussianScene(
-    means=jnp.concatenate([base.means * 0.25 + o for o in offs])[:n],
-    scales=jnp.tile(base.scales * 0.25, (reps, 1))[:n],
-    quats=jnp.tile(base.quats, (reps, 1))[:n],
-    colors=jnp.tile(base.colors, (reps, 1))[:n],
-    opacities=jnp.tile(base.opacities, reps)[:n],
-)
+scene = tile_scene(base, n)
 cam = make_camera((0, 0, 2.8), (0, 0, 0), width=1920, height=1080)
 
 opa = np.asarray(scene.opacities)

@@ -7,7 +7,11 @@ from splatjax.io.splat_format import (
     scene_to_splat_bytes,
 )
 from splatjax.io.ply_format import load_ply, parse_ply_bytes, save_ply
-from splatjax.io.synthetic import synthetic_scene, synthetic_splat_bytes
+from splatjax.io.synthetic import (
+    synthetic_scene,
+    synthetic_splat_bytes,
+    tile_scene,
+)
 
 __all__ = [
     "ROW_LENGTH",
@@ -20,5 +24,6 @@ __all__ = [
     "parse_ply_bytes",
     "save_ply",
     "synthetic_scene",
+    "tile_scene",
     "synthetic_splat_bytes",
 ]

@@ -36,3 +36,33 @@ def synthetic_splat_bytes(n: int, seed: int = 0) -> bytes:
     from splatjax.io.splat_format import scene_to_splat_bytes
 
     return scene_to_splat_bytes(synthetic_scene(n, seed))
+
+
+def tile_scene(base, n: int, *, scale: float = 0.25, jitter: float = 0.9,
+               seed: int = 11):
+    """Tile a (small) scene into an n-splat one with jittered offsets.
+
+    The bench/test recipe for turning the in-repo trained fixture (real
+    3DGS statistics: anisotropic covariances, optimizer-shaped opacities)
+    into arbitrary-size scenes: each repeat is shrunk by ``scale`` and
+    placed at a uniform random offset in [-jitter, jitter]^3. One shared
+    definition so bench.py, benchmarks/scaling.py and the tests measure
+    the SAME scene.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from splatjax.scene import GaussianScene
+
+    reps = -(-n // base.num_gaussians)
+    rng = np.random.default_rng(seed)
+    offs = rng.uniform(-jitter, jitter, (reps, 3)).astype(np.float32)
+    return GaussianScene(
+        means=jnp.concatenate(
+            [jnp.asarray(base.means) * scale + o for o in offs]
+        )[:n],
+        scales=jnp.tile(jnp.asarray(base.scales) * scale, (reps, 1))[:n],
+        quats=jnp.tile(jnp.asarray(base.quats), (reps, 1))[:n],
+        colors=jnp.tile(jnp.asarray(base.colors), (reps, 1))[:n],
+        opacities=jnp.tile(jnp.asarray(base.opacities), reps)[:n],
+    )

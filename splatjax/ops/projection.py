@@ -132,11 +132,14 @@ def project_gaussians(
         invisible once exp(power) * opacity < eps, so the per-splat power
         cutoff tightens from the shader's fixed 4 (index.js:172) to
         t_eff = min(4, ln(opacity / eps)) and the binned bbox shrinks by
-        sqrt(t_eff / 4); splats with opacity <= eps are culled outright.
-        Every dropped fragment contributes alpha < eps, consistent with
-        the rasterizer's early_stop error budget (render passes
-        early_stop here). None (or 0) keeps the exact cutoff-4 support —
-        required for viewer parity.
+        sqrt(t_eff / 4) (to a single center-tile instance at
+        opacity <= eps — NOT a hard cull: during training a splat whose
+        opacity dips below eps must keep its O(1) opacity gradient
+        through that one instance, or it could never recover). Every
+        dropped fragment contributes alpha < eps, consistent with the
+        rasterizer's early_stop error budget (render passes early_stop
+        here). None (or 0) keeps the exact cutoff-4 support — required
+        for viewer parity.
     """
     return _project_f32(
         means, cov3d, colors, opacities, modelview, projection,
@@ -298,9 +301,6 @@ def _project_f32(
     )
 
     mask = in_frustum & size_keep
-    if support_eps is not None and support_eps > 0.0:
-        # a splat with opacity <= eps has every fragment below eps
-        mask = mask & (opacities > support_eps)
 
     if cutout is not None:
         p = means * jnp.array([1.0, -1.0, 1.0], dtype=jnp.float32)  # :533

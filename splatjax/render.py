@@ -702,10 +702,9 @@ def _render_binned_cached_impl(
 ):
     from splatjax.ops.binning import features_from_projection as ffp
     from splatjax.ops.rasterize import (
-        CHUNK,
+        chunk_major_rows,
         pack_feature_table,
         pack_feature_table16,
-        pad_chunk_major,
         rasterize_cm_fwd,
     )
 
@@ -718,13 +717,8 @@ def _render_binned_cached_impl(
     cfg = TileConfig(width, height, tile_size, tile_size)
     zbuf_tiles = None if zbuf is None else zbuffer_to_tiles(zbuf, cfg)
     pack = pack_feature_table16 if feature_bytes == 16 else pack_feature_table
-    rows = pack(ffp(proj))                    # (K, 8) already instance-major
-    k = rows.shape[0]
-    k_pad = -(-(k + CHUNK) // CHUNK) * CHUNK
-    rows = jnp.pad(rows, ((0, k_pad - k), (0, 0)))
-    feat_cm = pad_chunk_major(
-        rows.reshape(k_pad // CHUNK, CHUNK, 8).transpose(0, 2, 1)
-    )
+    # rows are already instance-major: straight to the streaming layout
+    feat_cm = chunk_major_rows(pack(ffp(proj)))
     want_depth = return_depth or zbuf is not None
     out_tiles, _ = rasterize_cm_fwd(
         feat_cm, bins.starts, bins.ends, cfg, alpha_clip=alpha_clip,

@@ -120,7 +120,7 @@ def make_train_step(
 
         mvs/prs: (k, 4, 4); targets: (k, H, W, 4). Returns the LAST
         step's loss/psnr and the SUM of the k per-step gnorm vectors
-        (the densify accumulator adds k to its count)."""
+        (densify is rejected with k > 1 — fit() raises)."""
         def body(carry, xs):
             params, opt_state = carry
             mv, pr, target = xs
@@ -320,11 +320,25 @@ def fit(
     targets = [jnp.asarray(t[..., :4], jnp.float32) for t in targets]
 
     k = cfg.steps_per_call if mesh is None else 1
+    if mesh is not None and cfg.steps_per_call > 1:
+        import warnings
+
+        warnings.warn(
+            "steps_per_call > 1 is only implemented for the single-chip "
+            "step; the mesh paths dispatch one step per call",
+            stacklevel=2,
+        )
     if k > 1 and densify is not None:
         raise ValueError(
             "steps_per_call > 1 is incompatible with densify (the "
             "clone/split/prune pass needs per-step python control); set "
             "steps_per_call=1 or drop densify"
+        )
+    if k > 1 and (cfg.steps - start_step) % k:
+        raise ValueError(
+            f"steps ({cfg.steps}, resuming at {start_step}) must be a "
+            f"multiple of steps_per_call ({k}) — the scanned dispatch "
+            "always runs k full steps"
         )
     history = []
     drops = None
@@ -377,12 +391,14 @@ def fit(
                 grad_cnt = np.zeros((n_rows,), np.int64)
                 if log_fn is not None:
                     log_fn({"step": i, "densify": rep})
+        # boundary-crossing condition: identical to the k == 1 cadence
+        # (i % log_every == 0) and fires once per crossed multiple at k > 1
         if cfg.log_every and (
-            (i // k) % max(cfg.log_every // k, 1) == 0
-            or i + k >= cfg.steps
+            i % cfg.log_every < k or i + k >= cfg.steps
         ):
             rec = {
-                "step": i,
+                # the scanned dispatch reports the LAST step's metrics
+                "step": i + k - 1,
                 "loss": float(loss),
                 "psnr": float(p),
                 "elapsed_s": time.time() - t_start,
@@ -394,11 +410,11 @@ def fit(
                 log_fn(rec)
         done = i + k
         if mgr is not None and checkpoint_every and (
-            done % checkpoint_every == 0 or done == cfg.steps
+            done % checkpoint_every < k or done == cfg.steps
         ):
             mgr.save(done, params, opt_state)
         if checkpoint_fn is not None and checkpoint_every and (
-            done % checkpoint_every == 0
+            done % checkpoint_every < k
         ):
             checkpoint_fn(done, params)
     return params, history

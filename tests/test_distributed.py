@@ -427,23 +427,14 @@ def test_band_render_trained_fixture_no_drops():
     from splatjax.render import render
     from splatjax.scene import GaussianScene
 
+    from splatjax.io import tile_scene
+
     base = load_splat(
         os.path.join(os.path.dirname(__file__), "fixtures",
                      "trained_scene.splat")
     )
     n = 40_000
-    reps = -(-n // base.num_gaussians)
-    rng = np.random.default_rng(11)
-    offs = rng.uniform(-0.9, 0.9, (reps, 3)).astype(np.float32)
-    scene = GaussianScene(
-        means=jnp.concatenate(
-            [jnp.asarray(base.means) * 0.25 + o for o in offs]
-        )[:n],
-        scales=jnp.tile(jnp.asarray(base.scales) * 0.25, (reps, 1))[:n],
-        quats=jnp.tile(jnp.asarray(base.quats), (reps, 1))[:n],
-        colors=jnp.tile(jnp.asarray(base.colors), (reps, 1))[:n],
-        opacities=jnp.tile(jnp.asarray(base.opacities), reps)[:n],
-    )
+    scene = tile_scene(base, n)
     # 512 px: bands are 64 px (4 tile rows) — the narrowest realistic
     # band height (at 256 px the 32 px bands make MAX_BANDS=4 span cuts
     # legitimate, which return_overflow surfaces by design)

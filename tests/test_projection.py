@@ -245,7 +245,7 @@ def test_opacity_aware_support_bound():
     scene = synthetic_scene(n, seed=21, extent=0.7, scale_range=(0.02, 0.08))
     # force a wide opacity range incl. below-eps and barely-above-eps
     opac = np.asarray(scene.opacities).copy()
-    opac[:64] = 5e-5            # <= eps: culled outright
+    opac[:64] = 5e-5            # <= eps: bbox -> 0 (one instance, no cull)
     opac[64:128] = 2e-3         # t_eff = ln(20) ~ 3.0 -> bbox shrink
     scene = type(scene)(
         means=scene.means, scales=scene.scales, quats=scene.quats,
@@ -264,8 +264,10 @@ def test_opacity_aware_support_bound():
         scene.means, cov3d, scene.colors, scene.opacities,
         cam.modelview, cam.projection, W, H, support_eps=1e-4, **kw,
     )
-    # culled below eps
-    assert not bool(jnp.any(p_eps.mask[:64]))
+    # below eps: bbox collapses to zero but the splat is NOT hard-culled
+    # (training needs the opacity gradient through one center instance)
+    assert bool(jnp.all(p_eps.mask[:64] == p_exact.mask[:64]))
+    assert float(jnp.max(p_eps.bbox_half[:64])) == 0.0
     # bbox shrink factor sqrt(t_eff/4) for the low-opacity band
     t_eff = np.log(2e-3 / 1e-4)
     np.testing.assert_allclose(
