@@ -140,7 +140,7 @@ def main():
     def rast_grad(proj, b):
         # merged backward: packed bwd kernel + sort/segment-sum transpose
         def loss(feat_n):
-            return jnp.sum(_rast(feat_n, b)[:, :, :4] ** 2)
+            return jnp.sum(_rast(feat_n, b)[:, :4, :] ** 2)
         return jax.grad(loss)(features_from_projection(proj))
 
     timeit = _timer(args.iters)

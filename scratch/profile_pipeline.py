@@ -84,7 +84,7 @@ def main():
                 b.ends, b.cum, b.count, b.perm, b.cum_d, b.count_d,
                 b.overflow, None, cfg, 0.999, 1e-4, args.fb == 16,
             )
-            return jnp.sum(out[:, :, :4] ** 2)
+            return jnp.sum(out[:, :4, :] ** 2)
         return jax.grad(loss)((means, scales))
 
     jax.block_until_ready(fwd(*arrs))

@@ -113,7 +113,7 @@ def main():
                 f, s, e, cfg, alpha_clip=0.999, early_stop=1e-4,
                 packed16=pk16)
         )(feat_cm, starts, ends)
-        g_out = jnp.ones_like(out_tiles[:, :, :4])
+        g_out = jnp.ones_like(out_tiles[:, :4, :])
         bwd = jax.jit(lambda f, s, e, c, o, g: _bwd_pallas(
             f, s, e, c, o, g, cfg, 0.999, packed16=pk16))
         ms = timeit(bwd, feat_cm, starts, ends, chunks_done, out_tiles,

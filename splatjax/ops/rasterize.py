@@ -34,8 +34,15 @@ Memory layout (chosen for Mosaic's (sublane, lane)=(8, 128) tiling rules):
     NaN canonicalization anywhere in the XLA pipeline.
   * tile ranges need not be 128-aligned — the kernel rounds the DMA window
     down to a 128 boundary and masks instances outside [start, end);
-  * per-tile output is ``(P, 8)``: channels r, g, b, T_final, chunks_done,
-    expected_depth (2 spare), written with lane slices.
+  * per-tile output is PLANAR ``(8, P)``: channel rows r, g, b, T_final,
+    chunks_done, expected_depth (2 spare) with PIXELS ON LANES — a
+    channel-minor (P, 8) block leaves 8 of 128 lanes live and cost
+    ~4x on every XLA-side producer/consumer of the tile buffers
+    (measured: a trivial pallas round-trip over (T, P, 4) blocks runs
+    7.2 ms vs 1.7 ms planar at 1080p, scratch/micro_pallas_layout.py).
+    The per-pixel accumulators stay (P, chan) inside the kernel
+    (pixels on sublanes, gaussians on lanes); ONE exact identity-matmul
+    transpose per tile flips them to the planar block.
 
 The UNPACKED per-gaussian feature layout (16 f32 rows, used at the
 differentiable boundary and for gradients):
@@ -677,13 +684,32 @@ def _fwd_kernel(
 
         jax.lax.fori_loop(cur[0], cur[1], w, 0)
 
-    out_ref[0, :, 0:3] = acc[:, 0:3]
-    out_ref[0, :, 3:4] = t_vec
-    # chunks-done count rides in spare channel 4 (exact in f32 up to 2^24);
-    # a dedicated per-tile SMEM output would blow the 1MB SMEM budget at 1080p
-    out_ref[0, :, 4:5] = jnp.full((p, 1), 0.0, jnp.float32) + c_done.astype(jnp.float32)
-    out_ref[0, :, 5:6] = acc[:, 3:4]   # expected depth sum_k a_k T_k d_k
-    out_ref[0, :, 6:8] = jnp.zeros((p, 2), jnp.float32)
+    # assemble the (P, 8) per-pixel block then transpose ONCE to the
+    # planar (8, P) output row layout via an identity matmul. HIGHEST
+    # precision reconstructs arbitrary f32 exactly to <= 1 ulp (3 bf16
+    # split terms cover the 24-bit significand; single-term sums)
+    chunks_col = jnp.full((p, 1), 0.0, jnp.float32) + c_done.astype(
+        jnp.float32
+    )
+    out8 = jnp.concatenate(
+        [
+            acc[:, 0:3],               # r, g, b
+            t_vec,                     # T_final
+            chunks_col,                # chunks done (exact in f32 < 2^24)
+            acc[:, 3:4],               # expected depth sum_k a_k T_k d_k
+            jnp.zeros((p, 2), jnp.float32),
+        ],
+        axis=1,
+    )                                  # (P, 8)
+    eye_p = (
+        jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    ).astype(jnp.float32)
+    out_ref[0, :, :] = jax.lax.dot_general(
+        out8, eye_p, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                  # (8, P)
 
 
 def pad_chunk_major(feat_cm: Array) -> Array:
@@ -720,8 +746,8 @@ def rasterize_cm_fwd(
     lanes wide either way — see the PACKED16 layout note).
     zbuf: optional (T, P, 1) camera-z buffer for opaque-geometry occlusion
     (depth rides lane 4 in training rows, lane 7 in viewer rows).
-    Returns (out_tiles (T, P, 8) [r,g,b,T_final,chunks,depth,..],
-    chunks_done (T,)).
+    Returns (out_tiles PLANAR (T, 8, P) [rows r,g,b,T_final,chunks,
+    depth,..], chunks_done (T,)).
     """
     t_tiles = cfg.num_tiles
     p = cfg.pixels_per_tile
@@ -752,7 +778,7 @@ def rasterize_cm_fwd(
         num_scalar_prefetch=2,
         grid=(t_tiles,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 8, p), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((NRING * BLK_CHUNKS, stream_lanes, CHUNK), jnp.int32),
@@ -763,10 +789,10 @@ def rasterize_cm_fwd(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_tiles, p, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_tiles, 8, p), jnp.float32),
         interpret=_use_interpret(),
     )(starts, ends, *inputs)
-    return out, out[:, 0, 4].astype(jnp.int32)
+    return out, out[:, 4, 0].astype(jnp.int32)
 
 
 def rasterize_packed_fwd(
@@ -816,7 +842,8 @@ def rasterize_tiles_xla(
 
     Gathers up to ``max_per_tile`` instances per tile; differentiable
     directly through jax autodiff — the gradient oracle for the custom VJP.
-    Returns out_tiles (T, P, 8) matching the Pallas contract (no counts).
+    Returns PLANAR out_tiles (T, 8, P) matching the Pallas contract (no
+    counts).
     """
     feat = feat_fm.T                                  # (K, 16)
     t_tiles = cfg.num_tiles
@@ -851,10 +878,11 @@ def rasterize_tiles_xla(
     cum = jnp.cumprod(om, axis=1)
     t_excl = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
     w = alpha * t_excl                                # (T, M, P)
-    rgb = jnp.einsum("tmp,tmc->tpc", w, f[:, :, 5:8])
+    rgb = jnp.einsum("tmp,tmc->tcp", w, f[:, :, 5:8])  # planar (T, 3, P)
     t_final = cum[:, -1, :]                           # (T, P)
     out = jnp.concatenate(
-        [rgb, t_final[:, :, None], jnp.zeros(rgb.shape[:2] + (4,))], axis=-1
+        [rgb, t_final[:, None, :],
+         jnp.zeros((rgb.shape[0], 4, rgb.shape[2]))], axis=1
     )
     return out
 
@@ -864,23 +892,25 @@ def tiles_to_image(
     cfg: TileConfig,
     background: Optional[Array] = None,
 ) -> Array:
-    """Assemble (T, P, 8) tiles into an (H, W, 4) image, row 0 on top.
+    """Assemble planar (T, 8, P) tiles into an (H, W, 4) image, row 0 top.
 
     Alpha = 1 - T_final (equals the viewer's accumulated dst alpha under
     blendSrcAlpha=One, index.js:177-181). Optional RGB background composited
-    under the splats.
+    under the splats. The channel math runs in the PLANAR layout (channel
+    on the major axis — the channel-minor form wastes 124/128 lanes per
+    XLA op); one final moveaxis delivers the public (H, W, 4).
     """
     ty_n, tx_n = cfg.tiles_y, cfg.tiles_x
     th, tw = cfg.tile_h, cfg.tile_w
-    x = out_tiles[:, :, :4].reshape(ty_n, tx_n, th, tw, 4)
-    x = x.transpose(0, 2, 1, 3, 4).reshape(ty_n * th, tx_n * tw, 4)
-    x = x[: cfg.height, : cfg.width]
-    rgb = x[..., :3]
-    alpha = 1.0 - x[..., 3]
+    x = out_tiles[:, :4, :].reshape(ty_n, tx_n, 4, th, tw)
+    x = x.transpose(2, 0, 3, 1, 4).reshape(4, ty_n * th, tx_n * tw)
+    x = x[:, : cfg.height, : cfg.width]
+    rgb = x[:3]
+    alpha = 1.0 - x[3]
     if background is not None:
-        rgb = rgb + (1.0 - alpha)[..., None] * background
-    img = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
-    return img[::-1]  # y-up tiles -> row 0 on top
+        rgb = rgb + (1.0 - alpha)[None] * background[:, None, None]
+    img = jnp.concatenate([rgb, alpha[None]], axis=0)
+    return jnp.moveaxis(img, 0, -1)[::-1]  # y-up tiles -> row 0 on top
 
 
 def tiles_to_depth(out_tiles: Array, cfg: TileConfig) -> Array:
@@ -892,7 +922,7 @@ def tiles_to_depth(out_tiles: Array, cfg: TileConfig) -> Array:
     """
     ty_n, tx_n = cfg.tiles_y, cfg.tiles_x
     th, tw = cfg.tile_h, cfg.tile_w
-    x = out_tiles[:, :, 5].reshape(ty_n, tx_n, th, tw)
+    x = out_tiles[:, 5, :].reshape(ty_n, tx_n, th, tw)
     x = x.transpose(0, 2, 1, 3).reshape(ty_n * th, tx_n * tw)
     return x[: cfg.height, : cfg.width][::-1]
 

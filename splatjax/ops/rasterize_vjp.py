@@ -116,16 +116,31 @@ def _bwd_kernel(
     c_done = chunks_ref[t]
     px, py = _pixel_grids(cfg, t)
 
-    g_r = g_out_ref[0, :, 0:1]          # (P, 1) cotangents
-    g_g = g_out_ref[0, :, 1:2]
-    g_b = g_out_ref[0, :, 2:3]
-    g_tf = g_out_ref[0, :, 3:4]
+    # PLANAR cotangent/saved-output rows (channel-major (gch, P) blocks —
+    # channel-minor (P, gch) operands cost ~4x in XLA layout tax, see the
+    # fwd kernel's output note). Per-pixel quantities the chunk loop needs
+    # on SUBLANES (t_final, g_tf·t_final) are flipped once per tile by an
+    # exact identity matmul.
+    g4 = g_out_ref[0]                   # (gch, P)
+    g_tf_row = g4[3:4, :]               # (1, P)
     if g_channels == 4:
         # image-level cotangent (r, g, b, T_final): no depth channel
-        g_d = jnp.zeros_like(g_tf)
+        g_d_row = jnp.zeros_like(g_tf_row)
     else:
-        g_d = g_out_ref[0, :, 5:6]      # expected-depth cotangent
-    t_final = out_saved_ref[0, :, 3:4]
+        g_d_row = g4[5:6, :]            # expected-depth cotangent
+    t_final_row = out_saved_ref[0, 3:4, :]
+    p_pix = cfg.pixels_per_tile
+    eye_p = (
+        jax.lax.broadcasted_iota(jnp.int32, (p_pix, p_pix), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (p_pix, p_pix), 1)
+    ).astype(jnp.float32)
+    cols2 = jax.lax.dot_general(
+        eye_p, jnp.concatenate([t_final_row, g_tf_row], axis=0),
+        (((0,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                   # (P, 2): exact <= 1 ulp
+    t_final = cols2[:, 0:1]
 
     # Per-tile constant bases for the MXU gradient reductions (see body):
     # all ten per-instance sums are contractions over the tile's pixels of
@@ -143,8 +158,8 @@ def _bwd_kernel(
     # split basis for the alpha matmul; single-pass bf16 reductions below
     fast = packed16
     basis_a = _split_basis(basis6) if fast else basis6
-    cot4 = jnp.concatenate([g_r, g_g, g_b, g_d], axis=1)   # (P, 4)
-    gtt = g_tf * t_final                 # (P, 1) hoisted out of the loop
+    cot4p = jnp.concatenate([g4[0:3, :], g_d_row], axis=0)  # (4, P) planar
+    gtt = cols2[:, 1:2] * t_final        # (P, 1) hoisted out of the loop
 
     # Walk chunks in reverse: iteration i handles chunk c = c_done-1-i.
     # Feature reads and grad writes are double-buffered on slot = i % 2.
@@ -261,13 +276,13 @@ def _bwd_kernel(
         )                                        # (4, CHUNK)
         if fast:
             gdotc = jax.lax.dot_general(
-                cot4.astype(jnp.bfloat16), colmat4.astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())),
+                cot4p.astype(jnp.bfloat16), colmat4.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                    # (P, CHUNK), ~2^-9 rel
         else:
             gdotc = jax.lax.dot_general(
-                cot4, colmat4, (((1,), (0,)), ((), ())),
+                cot4p, colmat4, (((0,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )                                    # (P, CHUNK)
@@ -328,8 +343,8 @@ def _bwd_kernel(
                                       preferred_element_type=jnp.float32)
             )                                     # (6, CHUNK)
             cw = jax.lax.dot_general(
-                cot4.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-                (((0,), (0,)), ((), ())),
+                cot4p.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                     # (4, CHUNK)
         else:
@@ -339,7 +354,7 @@ def _bwd_kernel(
                 preferred_element_type=jnp.float32,
             )                                     # (6, CHUNK)
             cw = jax.lax.dot_general(
-                cot4, w, (((0,), (0,)), ((), ())),
+                cot4p, w, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )                                     # (4, CHUNK)
@@ -465,13 +480,13 @@ def _bwd_pallas(
 ):
     """feat_cm: chunk-major (n_chunks, 8, CHUNK) packed features (the
     forward's streaming layout, shared as the VJP residual; ``packed16``
-    selects the training-row decode). g_out may be (T, P, 8) (full
-    out_tiles cotangent) or (T, P, 4) (image-level r/g/b/T_final
+    selects the training-row decode). g_out is PLANAR: (T, 8, P) (full
+    out_tiles cotangent) or (T, 4, P) (image-level r/g/b/T_final
     cotangent, no depth channel)."""
     t_tiles = cfg.num_tiles
     p = cfg.pixels_per_tile
     k_pad = feat_cm.shape[0] * CHUNK
-    gch = g_out.shape[-1]
+    gch = g_out.shape[1]                 # planar (T, gch, P)
     # training backward (image-level cotangent, no z-buffer): the depth
     # lane is consumed only through g_d == 0 terms, so stream the 4
     # payload lanes of the 8-lane rows — halves the reverse-walk reads
@@ -494,9 +509,9 @@ def _bwd_pallas(
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # feat (packed)
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # zeros->alias
-        pl.BlockSpec((1, p, gch), lambda i, *_: (i, 0, 0),
-                     memory_space=pltpu.VMEM),  # g_out
-        pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((1, gch, p), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),  # g_out (planar rows)
+        pl.BlockSpec((1, 8, p), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),  # saved fwd out (T_final)
     ]
     inputs = [feat_cm, zeros, g_out, out_saved]
@@ -548,8 +563,8 @@ def rasterize_tiles(
     same layout. The kernel runs on the packed representation internally;
     color/opacity pass through a 1/65535 quantization whose gradient is
     straight-through.
-    Returns (out_tiles (T, P, 8) [r,g,b,T_final,chunks,depth,..],
-    chunks_done (T,)).
+    Returns (out_tiles PLANAR (T, 8, P) [rows r,g,b,T_final,chunks,
+    depth,..], chunks_done (T,)).
     """
     return rasterize_tiles_fwd(
         feat_fm, starts, ends, cfg, alpha_clip=alpha_clip,
@@ -618,7 +633,7 @@ def rasterize_gathered(
     32-byte viewer-parity rows (no depth channel; see
     ops/rasterize.pack_feature_table16) — halves the dominant gather and
     the kernels' ring DMA traffic.
-    Returns (out_tiles (T, P, 8), chunks_done (T,)).
+    Returns (out_tiles PLANAR (T, 8, P), chunks_done (T,)).
     """
     # gathered packed rows go straight to the streaming chunk-major layout
     # (one shuffle — same cost as the transpose it replaces)
@@ -697,25 +712,28 @@ def _assemble_image(out_tiles, cfg: TileConfig, background):
 
 
 def _image_cotangent_to_tiles(gimg, cfg: TileConfig, background):
-    """(H, W, 4) image cotangent -> (T, P, 4) [g_r, g_g, g_b, g_T] tiles
-    (the exact transpose of tiles_to_image's layout + channel map)."""
+    """(H, W, 4) image cotangent -> PLANAR (T, 4, P) [g_r, g_g, g_b, g_T]
+    tiles (the exact transpose of tiles_to_image's layout + channel map).
+    Channel math runs channel-MAJOR: the channel-minor form wastes
+    124/128 lanes per op and cost ~10 ms/step before round 4."""
     ty_n, tx_n = cfg.tiles_y, cfg.tiles_x
     th, tw = cfg.tile_h, cfg.tile_w
-    g = jnp.asarray(gimg, jnp.float32)[::-1]            # back to y-up rows
-    g = jnp.pad(
-        g, ((0, ty_n * th - cfg.height), (0, tx_n * tw - cfg.width), (0, 0))
-    )
-    g = g.reshape(ty_n, th, tx_n, tw, 4).transpose(0, 2, 1, 3, 4)
-    g = g.reshape(ty_n * tx_n, th * tw, 4)
-    g_rgb = g[..., :3]
-    g_alpha = g[..., 3]
+    g = jnp.moveaxis(
+        jnp.asarray(gimg, jnp.float32)[::-1], -1, 0
+    )                                                   # (4, H, W) y-up
     # out_tiles channel 3 is T_final; image rgb = rgb_tiles + T * bg and
     # image alpha = 1 - T, so g_T = g_rgb . bg - g_alpha
     if background is None:
-        g_t = -g_alpha
+        g_t = -g[3]
     else:
-        g_t = jnp.tensordot(g_rgb, background, axes=([2], [0])) - g_alpha
-    return jnp.concatenate([g_rgb, g_t[..., None]], axis=-1)
+        bg = jnp.asarray(background, jnp.float32)
+        g_t = bg[0] * g[0] + bg[1] * g[1] + bg[2] * g[2] - g[3]
+    g = jnp.concatenate([g[:3], g_t[None]], axis=0)     # (4, H, W)
+    g = jnp.pad(
+        g, ((0, 0), (0, ty_n * th - cfg.height), (0, tx_n * tw - cfg.width))
+    )
+    g = g.reshape(4, ty_n, th, tx_n, tw).transpose(1, 3, 0, 2, 4)
+    return g.reshape(ty_n * tx_n, 4, th * tw)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
@@ -788,7 +806,7 @@ def _image_bwd_rule(cfg, alpha_clip, early_stop, packed16, res, gimg):
     else:
         # image rgb = rgb_tiles + T * bg: d/d bg_c = sum_pixels g_c * T
         g_bg = jnp.tensordot(
-            g4[..., :3], out_tiles[:, :, 3], axes=([0, 1], [0, 1])
+            g4[:, :3, :], out_tiles[:, 3, :], axes=([0, 2], [0, 1])
         )
     return (seg,) + (None,) * 9 + (g_bg, None)
 

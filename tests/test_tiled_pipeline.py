@@ -348,14 +348,14 @@ def test_alpha_clip_rounding_to_one_stays_finite():
             out, _ = rasterize_tiles(
                 ft, starts, ends, cfg, clip, 0.0
             )
-            return jnp.sum(out[..., :4]), out
+            return jnp.sum(out[:, :4, :]), out
 
         (s, out), g = jax.value_and_grad(f, has_aux=True)(jnp.asarray(feat))
         assert np.isfinite(np.asarray(out)).all(), clip
         assert np.isfinite(np.asarray(g)).all(), clip
         # at the covered pixel (8.5, 8.5) the opaque splats drive
         # transmittance to ~0 (exactly 0 when the clip rounds to 1.0)
-        t_final = np.asarray(out)[0, 8 * 16 + 8, 3]
+        t_final = np.asarray(out)[0, 3, 8 * 16 + 8]
         assert t_final <= 1e-6, (clip, t_final)
 
 
