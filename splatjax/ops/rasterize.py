@@ -355,6 +355,44 @@ def _lane_iota(cols: int):
 # more than 8 mantissa bits).
 
 
+def _flip_to_rows(x):
+    """(P, C) -> (C, P) via TWO single-pass identity matmuls on a bf16
+    hi + lo split of x (single-term sums: per-value error <= 2^-17 |x|,
+    orders inside the 1e-3 parity budget) — Precision.HIGHEST's 6 passes
+    cost ~3x for exactness beyond anything downstream can observe."""
+    p = x.shape[0]
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    ).astype(jnp.bfloat16)
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((0,), (0,)), ((), ()))
+    return jax.lax.dot_general(
+        hi, eye, dims, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(
+        lo, eye, dims, preferred_element_type=jnp.float32
+    )
+
+
+def _flip_to_cols(x):
+    """(C, P) -> (P, C): the other direction of :func:`_flip_to_rows`,
+    same 2-pass bf16 hi/lo split (error <= 2^-17 |x|)."""
+    p = x.shape[1]
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    ).astype(jnp.bfloat16)
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((0,), (1,)), ((), ()))
+    return jax.lax.dot_general(
+        eye, hi, dims, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(
+        eye, lo, dims, preferred_element_type=jnp.float32
+    )
+
+
 def _tri_mask(cols: int, suffix: bool, strict: bool = False):
     j = jax.lax.broadcasted_iota(jnp.int32, (cols, cols), 0)
     k = jax.lax.broadcasted_iota(jnp.int32, (cols, cols), 1)
@@ -688,28 +726,22 @@ def _fwd_kernel(
     # planar (8, P) output row layout via an identity matmul. HIGHEST
     # precision reconstructs arbitrary f32 exactly to <= 1 ulp (3 bf16
     # split terms cover the 24-bit significand; single-term sums)
-    chunks_col = jnp.full((p, 1), 0.0, jnp.float32) + c_done.astype(
-        jnp.float32
-    )
-    out8 = jnp.concatenate(
+    cols5 = jnp.concatenate(
         [
             acc[:, 0:3],               # r, g, b
             t_vec,                     # T_final
-            chunks_col,                # chunks done (exact in f32 < 2^24)
             acc[:, 3:4],               # expected depth sum_k a_k T_k d_k
-            jnp.zeros((p, 2), jnp.float32),
         ],
         axis=1,
-    )                                  # (P, 8)
-    eye_p = (
-        jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
-    ).astype(jnp.float32)
-    out_ref[0, :, :] = jax.lax.dot_general(
-        out8, eye_p, (((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )                                  # (8, P)
+    )                                  # (P, 5)
+    rows5 = _flip_to_rows(cols5)       # (5, P), error <= 2^-17 relative
+    out_ref[0, 0:4, :] = rows5[0:4]
+    # chunks-done is a per-tile SCALAR: broadcast a row directly
+    out_ref[0, 4:5, :] = jnp.full((1, p), 0.0, jnp.float32) + c_done.astype(
+        jnp.float32
+    )
+    out_ref[0, 5:6, :] = rows5[4:5]
+    out_ref[0, 6:8, :] = jnp.zeros((2, p), jnp.float32)
 
 
 def pad_chunk_major(feat_cm: Array) -> Array:

@@ -51,6 +51,7 @@ from splatjax.ops.rasterize import (
     PACKED16_ROWS,
     PACKED_ROWS,
     _chunk_alpha,
+    _flip_to_cols,
     _split_basis,
     clip_bounds_alpha,
     _lane_iota,
@@ -129,17 +130,9 @@ def _bwd_kernel(
     else:
         g_d_row = g4[5:6, :]            # expected-depth cotangent
     t_final_row = out_saved_ref[0, 3:4, :]
-    p_pix = cfg.pixels_per_tile
-    eye_p = (
-        jax.lax.broadcasted_iota(jnp.int32, (p_pix, p_pix), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (p_pix, p_pix), 1)
-    ).astype(jnp.float32)
-    cols2 = jax.lax.dot_general(
-        eye_p, jnp.concatenate([t_final_row, g_tf_row], axis=0),
-        (((0,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )                                   # (P, 2): exact <= 1 ulp
+    cols2 = _flip_to_cols(
+        jnp.concatenate([t_final_row, g_tf_row], axis=0)
+    )                                   # (P, 2), error <= 2^-17 relative
     t_final = cols2[:, 0:1]
 
     # Per-tile constant bases for the MXU gradient reductions (see body):
