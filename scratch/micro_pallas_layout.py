@@ -46,10 +46,6 @@ def timeit(f, *a, iters=20):
     return round(max((w2 - w1) / iters, 0.0) * 1e3, 2)
 
 
-def k_tp4(g_ref, o_ref):
-    o_ref[0, :] = jnp.sum(g_ref[0], axis=1)[None]  # hmm shape (P,)?
-
-
 def kernel_tp4(g_ref, o_ref):
     o_ref[0, :, :] = g_ref[0] * 2.0
 

@@ -35,14 +35,19 @@ Memory layout (chosen for Mosaic's (sublane, lane)=(8, 128) tiling rules):
   * tile ranges need not be 128-aligned — the kernel rounds the DMA window
     down to a 128 boundary and masks instances outside [start, end);
   * per-tile output is PLANAR ``(8, P)``: channel rows r, g, b, T_final,
-    chunks_done, expected_depth (2 spare) with PIXELS ON LANES — a
+    chunks_done, expected_depth, log T_final (1 spare) with PIXELS ON
+    LANES — a
     channel-minor (P, 8) block leaves 8 of 128 lanes live and cost
     ~4x on every XLA-side producer/consumer of the tile buffers
     (measured: a trivial pallas round-trip over (T, P, 4) blocks runs
     7.2 ms vs 1.7 ms planar at 1080p, scratch/micro_pallas_layout.py).
     The per-pixel accumulators stay (P, chan) inside the kernel
-    (pixels on sublanes, gaussians on lanes); ONE exact identity-matmul
-    transpose per tile flips them to the planar block.
+    (pixels on sublanes, gaussians on lanes); one 2-pass bf16-split
+    identity-matmul transpose per tile flips them to the planar block
+    (error <= 2^-17 RELATIVE — transmittance therefore also ships as
+    log T in channel 6, which the backward consumes: raw T below the
+    bf16 subnormal range would flush to 0 and kill deep-stack
+    gradients).
 
 The UNPACKED per-gaussian feature layout (16 f32 rows, used at the
 differentiable boundary and for gradients):
@@ -355,42 +360,44 @@ def _lane_iota(cols: int):
 # more than 8 mantissa bits).
 
 
-def _flip_to_rows(x):
-    """(P, C) -> (C, P) via TWO single-pass identity matmuls on a bf16
-    hi + lo split of x (single-term sums: per-value error <= 2^-17 |x|,
-    orders inside the 1e-3 parity budget) — Precision.HIGHEST's 6 passes
-    cost ~3x for exactness beyond anything downstream can observe."""
-    p = x.shape[0]
+def _flip2(x, p: int, to_rows: bool):
+    """Shared 2-pass bf16 hi/lo split identity-matmul transpose core.
+
+    Per-value error <= 2^-17 |x| (RELATIVE — NOT exact: values below
+    bf16's subnormal range, |x| < ~9.2e-41, flush to 0; never route a
+    quantity whose log matters through this — carry the log itself, as
+    the kernels do for transmittance). Precision.HIGHEST's 6 passes cost
+    ~3x for exactness nothing downstream observes."""
     eye = (
         jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
     ).astype(jnp.bfloat16)
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    dims = (((0,), (0,)), ((), ()))
+    if to_rows:   # (P, C) -> (C, P): contract the shared P on dim 0
+        dims = (((0,), (0,)), ((), ()))
+        pairs = ((hi, eye), (lo, eye))
+    else:         # (C, P) -> (P, C): eye on the left, contract its dim 0
+        dims = (((0,), (1,)), ((), ()))
+        pairs = ((eye, hi), (eye, lo))
+    (a, b), (a2, b2) = pairs
     return jax.lax.dot_general(
-        hi, eye, dims, preferred_element_type=jnp.float32
+        a, b, dims, preferred_element_type=jnp.float32
     ) + jax.lax.dot_general(
-        lo, eye, dims, preferred_element_type=jnp.float32
+        a2, b2, dims, preferred_element_type=jnp.float32
     )
+
+
+def _flip_to_rows(x):
+    """(P, C) -> (C, P) transpose via :func:`_flip2` (2-pass bf16 split,
+    error <= 2^-17 relative; see its caveats)."""
+    return _flip2(x, x.shape[0], to_rows=True)
 
 
 def _flip_to_cols(x):
     """(C, P) -> (P, C): the other direction of :func:`_flip_to_rows`,
-    same 2-pass bf16 hi/lo split (error <= 2^-17 |x|)."""
-    p = x.shape[1]
-    eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
-    ).astype(jnp.bfloat16)
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    dims = (((0,), (1,)), ((), ()))
-    return jax.lax.dot_general(
-        eye, hi, dims, preferred_element_type=jnp.float32
-    ) + jax.lax.dot_general(
-        eye, lo, dims, preferred_element_type=jnp.float32
-    )
+    same error model."""
+    return _flip2(x, x.shape[1], to_rows=False)
 
 
 def _tri_mask(cols: int, suffix: bool, strict: bool = False):
@@ -650,7 +657,7 @@ def _fwd_kernel(
     tri_pre = _tri_mask(CHUNK, suffix=False, strict=True)
 
     def body(state):
-        c, t_vec, acc = state
+        c, lt_vec, acc = state
         ci = astart // CHUNK + c           # global chunk index
         b = ci // BLK_CHUNKS               # global block index
 
@@ -693,24 +700,33 @@ def _fwd_kernel(
                 precision=jax.lax.Precision.HIGHEST,  # f32: parity at 1e-3
                 preferred_element_type=jnp.float32,
             )
-        acc = acc + t_vec * contrib                       # (P, 4)
-        # chunk-total log-transmittance = exclusive sum at the last lane
-        # plus the last lane's own term — (P, 1) work only
-        t_vec = t_vec * jnp.exp(
+        acc = acc + jnp.exp(lt_vec) * contrib             # (P, 4)
+        # carried transmittance lives in LOG space: lt never underflows
+        # (per-term s >= -60 via _log_om), so the saved log-T channel
+        # stays finite where T itself flushes below f32/bf16 subnormals —
+        # the backward recovers per-instance transmittance from it
+        # without a log() and without a dead-gradient window. One (P, 1)
+        # exp per chunk replaces the old multiplicative update's exp.
+        lt_vec = lt_vec + (
             s_excl[:, CHUNK - 1:CHUNK] + s[:, CHUNK - 1:CHUNK]
         )
-        return c + 1, t_vec, acc
+        return c + 1, lt_vec, acc
+
+    log_eps = float(np.log(early_stop)) if early_stop > 0.0 else -np.inf
 
     def cond(state):
-        c, t_vec = state[0], state[1]
-        return jnp.logical_and(c < n_chunks, jnp.max(t_vec) > early_stop)
+        c, lt_vec = state[0], state[1]
+        # early_stop == 0.0 walks every chunk ("exact" contract): lt is
+        # always finite, unlike the old multiplicative T which could hit
+        # exact 0 and stop — identical images (the extra terms add 0.0)
+        return jnp.logical_and(c < n_chunks, jnp.max(lt_vec) > log_eps)
 
     init = (
         jnp.int32(0),
-        jnp.ones((p, 1), jnp.float32),
+        jnp.zeros((p, 1), jnp.float32),
         jnp.zeros((p, 4), jnp.float32),
     )
-    c_done, t_vec, acc = jax.lax.while_loop(cond, body, init)
+    c_done, lt_vec, acc = jax.lax.while_loop(cond, body, init)
 
     # grid end: drain every still-in-flight lookahead DMA so the kernel
     # exits with balanced semaphores
@@ -722,26 +738,30 @@ def _fwd_kernel(
 
         jax.lax.fori_loop(cur[0], cur[1], w, 0)
 
-    # assemble the (P, 8) per-pixel block then transpose ONCE to the
-    # planar (8, P) output row layout via an identity matmul. HIGHEST
-    # precision reconstructs arbitrary f32 exactly to <= 1 ulp (3 bf16
-    # split terms cover the 24-bit significand; single-term sums)
-    cols5 = jnp.concatenate(
+    # assemble the (P, 6) per-pixel block then transpose ONCE to the
+    # planar (8, P) output row layout (2-pass bf16-split identity matmul,
+    # _flip_to_rows: error <= 2^-17 RELATIVE — far inside the 1e-3 parity
+    # budget; log-T rides as its own channel precisely because relative
+    # error is harmless on O(100) log values but catastrophic on
+    # subnormal-range T itself)
+    cols6 = jnp.concatenate(
         [
             acc[:, 0:3],               # r, g, b
-            t_vec,                     # T_final
+            jnp.exp(lt_vec),           # T_final (image alpha = 1 - T)
             acc[:, 3:4],               # expected depth sum_k a_k T_k d_k
+            lt_vec,                    # log T_final (backward residual)
         ],
         axis=1,
-    )                                  # (P, 5)
-    rows5 = _flip_to_rows(cols5)       # (5, P), error <= 2^-17 relative
-    out_ref[0, 0:4, :] = rows5[0:4]
+    )                                  # (P, 6)
+    rows6 = _flip_to_rows(cols6)       # (6, P)
+    out_ref[0, 0:4, :] = rows6[0:4]
     # chunks-done is a per-tile SCALAR: broadcast a row directly
     out_ref[0, 4:5, :] = jnp.full((1, p), 0.0, jnp.float32) + c_done.astype(
         jnp.float32
     )
-    out_ref[0, 5:6, :] = rows5[4:5]
-    out_ref[0, 6:8, :] = jnp.zeros((2, p), jnp.float32)
+    out_ref[0, 5:6, :] = rows6[4:5]
+    out_ref[0, 6:7, :] = rows6[5:6]    # log T_final
+    out_ref[0, 7:8, :] = jnp.zeros((1, p), jnp.float32)
 
 
 def pad_chunk_major(feat_cm: Array) -> Array:

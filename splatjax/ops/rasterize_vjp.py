@@ -120,8 +120,9 @@ def _bwd_kernel(
     # PLANAR cotangent/saved-output rows (channel-major (gch, P) blocks —
     # channel-minor (P, gch) operands cost ~4x in XLA layout tax, see the
     # fwd kernel's output note). Per-pixel quantities the chunk loop needs
-    # on SUBLANES (t_final, g_tf·t_final) are flipped once per tile by an
-    # exact identity matmul.
+    # on SUBLANES (log T_final, g_tf) are flipped once per tile by a
+    # 2-pass bf16-split identity matmul (2^-17 relative — safe on O(100)
+    # log values; raw T would flush below the bf16 subnormal range).
     g4 = g_out_ref[0]                   # (gch, P)
     g_tf_row = g4[3:4, :]               # (1, P)
     if g_channels == 4:
@@ -129,11 +130,12 @@ def _bwd_kernel(
         g_d_row = jnp.zeros_like(g_tf_row)
     else:
         g_d_row = g4[5:6, :]            # expected-depth cotangent
-    t_final_row = out_saved_ref[0, 3:4, :]
+    lt_row = out_saved_ref[0, 6:7, :]   # log T_final (never underflows)
     cols2 = _flip_to_cols(
-        jnp.concatenate([t_final_row, g_tf_row], axis=0)
+        jnp.concatenate([lt_row, g_tf_row], axis=0)
     )                                   # (P, 2), error <= 2^-17 relative
-    t_final = cols2[:, 0:1]
+    lt_final = cols2[:, 0:1]
+    t_final = jnp.exp(lt_final)
 
     # Per-tile constant bases for the MXU gradient reductions (see body):
     # all ten per-instance sums are contractions over the tile's pixels of
@@ -415,9 +417,10 @@ def _bwd_kernel(
         # instance, combined suffix sum extended by this whole chunk
         return (lt_after - s_q[:, 0:1], s_u + tot_u)
 
-    # log T_final: -inf where the tile saturated to exactly 0 (exp then
-    # returns exact 0 transmittances — no 0/0)
-    init = (jnp.log(t_final), jnp.zeros_like(t_final))
+    # log T_final arrives directly from the forward's log-space carry
+    # (channel 6): finite even where T itself flushes below the f32/bf16
+    # subnormal range, so deep stacks keep their front-splat gradients
+    init = (lt_final, jnp.zeros_like(t_final))
     jax.lax.fori_loop(0, c_done, body, init)
 
     # next tile's first reverse chunk window (i=0 -> slots feat[0]/gold[0])

@@ -118,7 +118,8 @@ def _band_render_body(
     over ``axis``): local projection (incl. optional SH view-dependent
     color — a zero-band (n, 0, 3) ``sh`` is a no-op) -> fixed-capacity
     all_to_all redistribution -> band-local binning + fused rasterize.
-    Returns (out_tiles (T_band, P, 8), my_drop (1,)). Differentiable — jax
+    Returns (out_tiles PLANAR (T_band, 8, P), my_drop (1,)).
+    Differentiable — jax
     transposes the all_to_all/all_gather and keeps parameter gradients on
     the owning shard."""
     proj_local = project_gaussians(

@@ -405,3 +405,39 @@ def test_packed16_training_rows_quality_and_grads():
     assert derr.max() < 0.05 * np.abs(np.asarray(d32))[covered].max()
     with pytest.raises(ValueError, match="feature_bytes=16"):
         render(scene, cam, feature_bytes=16, viewer_exact=True)
+
+
+def test_deep_stack_front_gradient_survives():
+    """A pixel behind ~14 near-opaque clipped splats has T_final ~ 1e-42 —
+    below the bf16 subnormal range the planar boundary flips can carry.
+    The backward must recover the FRONT splat's O(1) gradient anyway:
+    transmittance ships through the kernel boundary as log T (channel 6),
+    which stays finite where T itself flushes to zero."""
+    from splatjax.ops.binning import FEAT_DIM
+    from splatjax.ops.rasterize_vjp import rasterize_tiles
+
+    cfg = TileConfig(16, 16, 16, 16)  # one tile
+    k = 16
+    feat = np.zeros((FEAT_DIM, k), np.float32)
+    feat[0] = 8.5
+    feat[1] = 8.5
+    feat[2] = 0.02          # wide conic: alpha ~ opacity over the tile
+    feat[4] = 0.02
+    feat[5:8] = 0.5
+    feat[8] = 1.0           # alpha clips at 0.999 -> T_final ~ 1e-42
+    feat[9] = -2.0
+    starts = jnp.zeros((1,), jnp.int32)
+    ends = jnp.full((1,), k, jnp.int32)
+
+    def front_color_loss(ft):
+        out, _ = rasterize_tiles(ft, starts, ends, cfg, 0.999, 0.0)
+        return jnp.sum(out[:, :3, :])
+
+    out, _ = rasterize_tiles(jnp.asarray(feat), starts, ends, cfg, 0.999, 0.0)
+    t_center = float(np.asarray(out)[0, 3, 8 * 16 + 8])
+    assert t_center < 1e-38, t_center   # genuinely sub-bf16-subnormal
+    g = np.asarray(jax.grad(front_color_loss)(jnp.asarray(feat)))
+    assert np.isfinite(g).all()
+    # the FRONT splat (instance 0) is fully visible: its color gradient
+    # is the pixel count times alpha*T_1 ~ 0.999 per covered pixel
+    assert abs(g[5, 0]) > 100.0, g[5, 0]
