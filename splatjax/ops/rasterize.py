@@ -476,13 +476,69 @@ def _power_basis(pxl, pyl):
     )
 
 
+class _ExactBasis:
+    """(P, 6) pixel basis whose every entry is EXACTLY representable in
+    bf16 — built from CENTERED half-integer tile-local coordinates.
+
+    With the basis origin at the tile CENTER, local pixel coordinates are
+    half-integers in [-(tile/2 - 0.5), +(tile/2 - 0.5)]; for tiles up to
+    16 px the doubled coordinates are integers <= 15, so every product
+    x*y (= (2x)(2y)/4) is an integer <= 225 scaled by a power of two —
+    at most 8 significand bits, which bf16 holds exactly. The power
+    matmul then needs NO basis hi/lo split: splitting only the (6, CHUNK)
+    coefficient operand gives
+      fast  (16-byte rows):  b @ ch + b @ cl            (2 MXU passes)
+      exact (32-byte rows):  b @ ch + b @ cl + b @ cl2  (3 passes)
+    with error = the coefficient tail alone (~|coef| * 2^-16 fast /
+    2^-24 exact — the exact form matches Precision.HIGHEST's 6 passes at
+    half the cost). Tiles wider than 16 px fall back to the split-basis /
+    HIGHEST paths (see _basis_is_bf16_exact)."""
+
+    __slots__ = ("b",)
+
+    def __init__(self, b):
+        self.b = b
+
+
+def _basis_is_bf16_exact(cfg: TileConfig) -> bool:
+    """True when centered tile-local basis entries are bf16-exact (see
+    :class:`_ExactBasis`): doubled coords must stay <= 15."""
+    return cfg.tile_w <= 16 and cfg.tile_h <= 16
+
+
+def _make_basis(px, py, oxb, oyb, cfg: TileConfig, fast: bool):
+    """Per-tile basis operand for :func:`_chunk_alpha`'s power matmul:
+    :class:`_ExactBasis` for <=16 px tiles (centered origin oxb/oyb), else
+    the legacy split-tuple (fast) / f32 HIGHEST (exact) forms."""
+    basis6 = _power_basis(px - oxb, py - oyb)
+    if _basis_is_bf16_exact(cfg):
+        return _ExactBasis(basis6.astype(jnp.bfloat16))
+    return _split_basis(basis6) if fast else basis6
+
+
 def _split_basis(basis6):
     """Pre-split the (P, 6) basis into bf16 hi + lo residual ONCE per tile
     program, for the fast-mode 3-pass power matmul in :func:`_chunk_alpha`
-    (the split is loop-invariant; doing it per chunk would waste VPU)."""
+    (the split is loop-invariant; doing it per chunk would waste VPU).
+    Only used for tiles too wide for the exact-bf16 basis."""
     bh = basis6.astype(jnp.bfloat16)
     bl = (basis6 - bh.astype(jnp.float32)).astype(jnp.bfloat16)
     return bh, bl
+
+
+def _log_clip(alpha_clip):
+    """log of the f32-rounded alpha clip, for folding the clip into
+    log-alpha space (min(p, log clip) <=> min(alpha, clip) up to one ulp
+    of exp/log rounding). 0.0 when the clip doesn't bound alpha below 1
+    (exp(0) = 1: alpha <= 1 keeps _log_om's -60 floor reachable instead
+    of nan); None when alpha_clip is None (no clamp pass at all — matches
+    the historical unclipped semantics, including its alpha > 1 hazard
+    under quantization, which post-sigmoid assets never hit)."""
+    if alpha_clip is None:
+        return None
+    if clip_bounds_alpha(alpha_clip):
+        return float(np.log(np.float32(alpha_clip)))
+    return 0.0
 
 
 def _chunk_alpha(chunk, basis6, ox, oy, kidx, start, end, alpha_clip,
@@ -490,10 +546,11 @@ def _chunk_alpha(chunk, basis6, ox, oy, kidx, start, end, alpha_clip,
     """Alpha matrix (P, CHUNK) for one packed feature chunk at tile pixels.
 
     chunk: (8, CHUNK) int32 packed; kidx: (1, CHUNK) absolute instance ids;
-    basis6: (P, 6) tile-local quadratic pixel basis (:func:`_power_basis`);
-    ox/oy: the tile's pixel origin; zb: optional (P, 1) per-pixel z-buffer
-    (camera z, -inf = unoccluded) — fragments at or behind it are discarded
-    (depthTest analogue, index.js:177-181).
+    basis6: the per-tile basis operand from :func:`_make_basis`
+    (:class:`_ExactBasis`, split tuple, or f32 array); ox/oy: the basis
+    ORIGIN (tile center for the exact-bf16 basis); zb: optional (P, 1)
+    per-pixel z-buffer (camera z, -inf = unoccluded) — fragments at or
+    behind it are discarded (depthTest analogue, index.js:177-181).
 
     The Gaussian quadratic form -(dx,dy)ᵀ·conic·(dx,dy)/2 is evaluated as
     ONE (P, 6) @ (6, CHUNK) MXU matmul against per-instance polynomial
@@ -504,19 +561,38 @@ def _chunk_alpha(chunk, basis6, ox, oy, kidx, start, end, alpha_clip,
     1e-3 viewer-parity budget. Global coordinates would push terms to
     ~1e7 and the error past the budget; never switch this to global px.
 
-    Returns (alpha, rows, in_range) with rows the unpacked feature tuple
-    from :func:`unpack_chunk` (32 B viewer rows) or :func:`unpack_chunk16`
-    (training rows — selected by the static ``packed16`` flag; both forms
-    are 8 int32 lanes wide).
+    Everything per-fragment is computed in LOG-ALPHA space: log(opacity)
+    and the range mask are FOLDED into the constant coefficient (masked
+    lanes get log(1e-30), so their alpha underflows the blend without any
+    (P, CHUNK) select or multiply), and the alpha clip folds in as
+    min(p, log clip). (1, CHUNK) row math is ~P-times cheaper than the
+    per-fragment passes it replaces; the callers' weight w = alpha * T
+    becomes exp(s_excl + p_eff) — an add instead of a multiply.
+
+    The exp(-4) cutoff (index.js:172) is kept in BOTH row modes as a
+    row-threshold compare + one select on log-alpha (skipping it in the
+    fast mode was measured to drag the fast-vs-exact gradient cosine to
+    0.9986, under the 0.999 contract).
+
+    Returns (alpha, rows, in_range, p_eff, p_raw):
+      rows: unpacked feature tuple (:func:`unpack_chunk` /
+            :func:`unpack_chunk16` by the static ``packed16`` flag);
+      p_eff: (P, CHUNK) effective log alpha — alpha == exp(p_eff);
+      p_raw: pre-clip log alpha for the backward's clip mask (compare
+             against :func:`_log_clip`; None when alpha_clip is None).
     """
     rows = unpack_chunk16(chunk) if packed16 else unpack_chunk(chunk)
     mxl = rows[0] - ox                     # (1, CHUNK) tile-local mean
     myl = rows[1] - oy
     ca, cb, cc = rows[2], rows[3], rows[4]
     opa = rows[8]
+    in_range = (kidx >= start) & (kidx < end)
+    opa_m = jnp.where(in_range, opa, 0.0)  # (1, CHUNK)
+    lnopa = jnp.log(jnp.maximum(opa_m, 1e-30))
     coef = jnp.concatenate(
         [
-            -0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl,
+            -0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl
+            + lnopa,
             ca * mxl + cb * myl,
             cc * myl + cb * mxl,
             -0.5 * ca,
@@ -526,12 +602,28 @@ def _chunk_alpha(chunk, basis6, ox, oy, kidx, start, end, alpha_clip,
         axis=0,
     )                                      # (6, CHUNK)
     dims = (((1,), (0,)), ((), ()))
-    if isinstance(basis6, tuple):
-        # fast mode (16-byte training rows): 3-pass hi/lo split against
-        # the pre-split basis (:func:`_split_basis`) instead of
-        # Precision.HIGHEST's 6 passes. Dropped bl@cl term ~2^-18 |term|;
-        # residual rounding <= 2^-18 * 1.2e3 ~ 5e-3 absolute power — an
-        # order below the training rows' own mean-quantization error.
+    if isinstance(basis6, _ExactBasis):
+        # exact-bf16 basis (<=16 px tiles): split only the coefficient.
+        # 2 passes (fast rows, ~|coef| 2^-16 tail, at the rows' own
+        # quantization floor) or 3 (32-byte rows, ~2^-24 tail — the same
+        # error class as Precision.HIGHEST at half the MXU passes).
+        b = basis6.b
+        ch = coef.astype(jnp.bfloat16)
+        c1 = coef - ch.astype(jnp.float32)
+        cl = c1.astype(jnp.bfloat16)
+        power = jax.lax.dot_general(
+            b, ch, dims, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            b, cl, dims, preferred_element_type=jnp.float32
+        )
+        if not packed16:
+            cl2 = (c1 - cl.astype(jnp.float32)).astype(jnp.bfloat16)
+            power = power + jax.lax.dot_general(
+                b, cl2, dims, preferred_element_type=jnp.float32
+            )                              # (P, CHUNK)
+    elif isinstance(basis6, tuple):
+        # wide-tile fast fallback: 3-pass hi/lo split against the split
+        # basis (:func:`_split_basis`); dropped bl@cl term ~2^-18 |term|.
         bh, bl = basis6
         ch = coef.astype(jnp.bfloat16)
         cl = (coef - ch.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -549,19 +641,26 @@ def _chunk_alpha(chunk, basis6, ox, oy, kidx, start, end, alpha_clip,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )                                  # (P, CHUNK)
-    in_range = (kidx >= start) & (kidx < end)
-    # range masking rides the (1, CHUNK) opacity row, keeping the per-
-    # fragment mask to the exp(-4) cutoff compare alone
-    opa_m = jnp.where(in_range, opa, 0.0)  # (1, CHUNK)
-    valid = power >= -4.0                  # exp(-4) cutoff, index.js:172
+    log_clip = _log_clip(alpha_clip)
+    if log_clip is None:
+        p_raw = None
+        p_eff = power
+    else:
+        p_raw = power
+        p_eff = jnp.minimum(power, log_clip)
+    # exp(-4) cutoff on the RAW quadratic power (power here includes
+    # lnopa, so the threshold is the (1, CHUNK) row lnopa - 4). Kept in
+    # the fast mode too: dropping it adds the sub-exp(-4) Gaussian tails
+    # back and pushes the fast-vs-exact gradient cosine below the 0.999
+    # contract (measured 0.9986 on the pipeline test).
+    valid = power >= (lnopa - 4.0)
     if zb is not None:
-        # camera z is negative in front; nearer = larger. A fragment at
-        # depth <= z-buffer is occluded by opaque geometry.
+        # camera z is negative in front; nearer = larger. A fragment
+        # at depth <= z-buffer is occluded by opaque geometry.
         valid = valid & (rows[9] > zb)     # (P, CHUNK) broadcast
-    alpha = jnp.where(valid, jnp.exp(power), 0.0) * opa_m
-    if alpha_clip is not None:
-        alpha = jnp.minimum(alpha, alpha_clip)
-    return alpha, rows, in_range
+    p_eff = jnp.where(valid, p_eff, -1e4)
+    alpha = jnp.exp(p_eff)                 # exp(-1e4) == +0.0 in f32
+    return alpha, rows, in_range, p_eff, p_raw
 
 
 def _fwd_kernel(
@@ -588,13 +687,17 @@ def _fwd_kernel(
     px, py = _pixel_grids(cfg, t)
     ox = (t % cfg.tiles_x).astype(jnp.float32) * cfg.tile_w
     oy = (t // cfg.tiles_x).astype(jnp.float32) * cfg.tile_h
-    basis6 = _power_basis(px - ox, py - oy)
-    # 16-byte training rows select the fast fragment math: pre-split-basis
-    # 3-pass power matmul, single-pass bf16 scans and accumulation — the
-    # rows' own quantization already floors the error above all of these
+    # 16-byte training rows select the fast fragment math: 2-pass power
+    # matmul on the exact-bf16 basis, single-pass bf16 scans and
+    # accumulation — the rows' own quantization already floors the error
+    # above all of these
     fast = packed16
-    if fast:
-        basis6 = _split_basis(basis6)
+    if _basis_is_bf16_exact(cfg):
+        # basis origin at the tile CENTER: half-integer local coords make
+        # every basis entry bf16-exact (see _ExactBasis)
+        ox = ox + 0.5 * cfg.tile_w
+        oy = oy + 0.5 * cfg.tile_h
+    basis6 = _make_basis(px, py, ox, oy, cfg, fast)
 
     def block_copy(bi):
         # clamped source keeps lookahead DMAs past the table in bounds
@@ -667,7 +770,7 @@ def _fwd_kernel(
 
         chunk = ring[(b % NRING) * BLK_CHUNKS + (ci % BLK_CHUNKS)]
         kidx = _lane_iota(CHUNK) + ci * CHUNK
-        alpha, rows, _ = _chunk_alpha(
+        alpha, rows, _, p_eff, _ = _chunk_alpha(
             chunk, basis6, ox, oy, kidx, start, end, alpha_clip, zb,
             packed16=packed16,
         )
@@ -676,8 +779,10 @@ def _fwd_kernel(
         # total needed for the carry is recovered on the last lane only.
         s = _log_om(alpha, alpha_clip)                    # (P, CHUNK)
         s_excl = _tri_cumsum(s, tri_pre, fast)
-        t_excl = jnp.exp(s_excl)                          # (P, CHUNK)
-        w = alpha * t_excl                                # within-chunk only
+        # w = alpha * exp(s_excl) as ONE exp of the log-space sum: the
+        # within-chunk weight rides log-alpha (p_eff) — an add replaces
+        # the t_excl multiply (and masked lanes die through p_eff ~ -69)
+        w = jnp.exp(s_excl + p_eff)                       # within-chunk only
         # rgb + expected-depth accumulation as ONE small MXU pass instead
         # of four VPU lane-tree reductions: (P, K) @ (K, 4). The carried
         # transmittance t_vec scales the whole chunk uniformly per pixel,

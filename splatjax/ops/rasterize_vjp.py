@@ -50,13 +50,15 @@ from splatjax.ops.rasterize import (
     FEAT_PAD,
     PACKED16_ROWS,
     PACKED_ROWS,
+    _ExactBasis,
+    _basis_is_bf16_exact,
     _chunk_alpha,
     _flip_to_cols,
-    _split_basis,
+    _log_clip,
+    _make_basis,
     clip_bounds_alpha,
     _lane_iota,
     _log_om,
-    _power_basis,
     _tri_cumsum,
     _tri_mask,
     _pixel_grids,
@@ -146,13 +148,17 @@ def _bwd_kernel(
     # below never cancels catastrophically.
     ox = (t % cfg.tiles_x).astype(jnp.float32) * cfg.tile_w
     oy = (t // cfg.tiles_x).astype(jnp.float32) * cfg.tile_h
-    pxl = px - ox                        # (P, 1) in [0.5, tile_w)
-    pyl = py - oy
-    basis6 = _power_basis(pxl, pyl)      # (P, 6) — shared with _chunk_alpha
-    # 16-byte training rows -> fast fragment math (see the fwd kernel):
-    # split basis for the alpha matmul; single-pass bf16 reductions below
+    # 16-byte training rows -> fast fragment math (see the fwd kernel)
     fast = packed16
-    basis_a = _split_basis(basis6) if fast else basis6
+    if _basis_is_bf16_exact(cfg):
+        # basis origin at the tile CENTER (half-integer local coords are
+        # bf16-exact — see _ExactBasis); the moment recombination below
+        # uses the SAME origin, so the centered raw moments stay
+        # cancellation-safe exactly as the tile-corner ones did
+        ox = ox + 0.5 * cfg.tile_w
+        oy = oy + 0.5 * cfg.tile_h
+    basis_a = _make_basis(px, py, ox, oy, cfg, fast)
+    log_clip = _log_clip(alpha_clip)
     cot4p = jnp.concatenate([g4[0:3, :], g_d_row], axis=0)  # (4, P) planar
     gtt = cols2[:, 1:2] * t_final        # (P, 1) hoisted out of the loop
 
@@ -242,7 +248,7 @@ def _bwd_kernel(
         feat_dma(i).wait()
         chunk = feat_vmem[i % 2]
         kidx = _lane_iota(CHUNK) + base
-        alpha, rows, in_range = _chunk_alpha(
+        alpha, rows, in_range, p_eff, p_raw = _chunk_alpha(
             chunk, basis_a, ox, oy, kidx, start, end, alpha_clip, zb,
             packed16=packed16,
         )
@@ -303,8 +309,11 @@ def _bwd_kernel(
         # is per-pixel, hoisted out of the chunk loop
         g_alpha = tg - (sx_u + gtt) / om_safe
         if alpha_clip is not None:
-            # min(raw*opa, clip) clipped  <=>  alpha >= clip
-            g_alpha = jnp.where(alpha < alpha_clip, g_alpha, 0.0)
+            # min(p, log clip) clipped  <=>  raw log-alpha >= log clip
+            # (compare the PRE-clip p_raw: post-clip alpha sits one
+            # exp/log ulp below the clip value, so comparing alpha
+            # against alpha_clip would never fire)
+            g_alpha = jnp.where(p_raw < log_clip, g_alpha, 0.0)
         # out-of-range lanes already have alpha == 0 (opacity-row masking
         # in _chunk_alpha), so g_power/w vanish there without a select;
         # only the row WRITE below needs the explicit in_range mask
@@ -316,19 +325,34 @@ def _bwd_kernel(
         # ten sublane reduction trees. Raw pixel moments (tile-local) are
         # recombined into the centered moments sum(g_power * dx^a dy^b)
         # per instance afterwards — O(CHUNK) work instead of O(P*CHUNK).
-        if fast:
-            # Moments CANNOT run single-pass bf16: the centered-moment
-            # recombination below subtracts raw moments ~ (tile_w)^2 * s1
-            # to produce sums ~ sigma^2 * s1 — cancellation amplifies a
-            # 2^-9 rounding by up to (tile_w/sigma)^2. 3-pass hi/lo
-            # (pre-split basis from basis_a + per-chunk g_power split)
-            # keeps the per-term error at 2^-18 — <= 0.1% after the
-            # worst-case amplification. cw has no cancellation: one bf16
-            # pass (~2^-9 relative color/depth-grad noise) is fine.
+        # Moments CANNOT run single-pass bf16: the centered-moment
+        # recombination below subtracts raw moments ~ (tile_w)^2 * s1
+        # to produce sums ~ sigma^2 * s1 — cancellation amplifies a
+        # 2^-9 rounding by up to (tile_w/sigma)^2. With the exact-bf16
+        # basis only g_power needs splitting: 2 passes (fast, per-term
+        # 2^-16) / 3 passes (exact, 2^-24 — the HIGHEST error class at
+        # half the MXU passes). Wide-tile fallbacks keep the old split /
+        # HIGHEST forms.
+        dimsP = (((0,), (0,)), ((), ()))
+        if isinstance(basis_a, _ExactBasis):
+            b = basis_a.b
+            gh = g_power.astype(jnp.bfloat16)
+            g1 = g_power - gh.astype(jnp.float32)
+            gl = g1.astype(jnp.bfloat16)
+            mom = jax.lax.dot_general(
+                b, gh, dimsP, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                b, gl, dimsP, preferred_element_type=jnp.float32
+            )
+            if not fast:
+                gl2 = (g1 - gl.astype(jnp.float32)).astype(jnp.bfloat16)
+                mom = mom + jax.lax.dot_general(
+                    b, gl2, dimsP, preferred_element_type=jnp.float32
+                )                                 # (6, CHUNK)
+        elif fast:
             bh, bl = basis_a
             gh = g_power.astype(jnp.bfloat16)
             gl = (g_power - gh.astype(jnp.float32)).astype(jnp.bfloat16)
-            dimsP = (((0,), (0,)), ((), ()))
             mom = (
                 jax.lax.dot_general(bh, gh, dimsP,
                                     preferred_element_type=jnp.float32)
@@ -337,17 +361,21 @@ def _bwd_kernel(
                 + jax.lax.dot_general(bl, gh, dimsP,
                                       preferred_element_type=jnp.float32)
             )                                     # (6, CHUNK)
+        else:
+            mom = jax.lax.dot_general(
+                basis_a, g_power, dimsP,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )                                     # (6, CHUNK)
+        if fast:
+            # cw has no cancellation: one bf16 pass (~2^-9 relative
+            # color/depth-grad noise) is fine
             cw = jax.lax.dot_general(
                 cot4p.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                     # (4, CHUNK)
         else:
-            mom = jax.lax.dot_general(
-                basis6, g_power, (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )                                     # (6, CHUNK)
             cw = jax.lax.dot_general(
                 cot4p, w, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,

@@ -174,11 +174,13 @@ def _segreduce_u16_kernel(
         dma(0, 0).start()
 
     subl = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    jlane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    prev_last = cum_ref[1:2, 0:1]                    # (1, 1) block excl[0]
     mask16 = jnp.uint32(0xFFFF)
     mask8 = jnp.uint32(0xFF)
 
-    def body(wi, acc):
-        acc_lo, acc_hi = acc
+    def body(wi, carry):
+        acc, acc0 = carry
 
         @pl.when(wi + 1 < nw)
         def _():
@@ -189,35 +191,49 @@ def _segreduce_u16_kernel(
             win_vmem[wi % 2], jnp.uint32
         )                                            # (8, W)
         j = (w0 + wi) * W + subl                     # (W, 1) absolute col
-        sel = ((j >= cum_excl) & (j < cum_incl)).astype(
-            jnp.bfloat16
-        )                                            # (W, LANES2)
-        dims = (((1,), (0,)), ((), ()))
+        # Runs are contiguous (excl[w] == incl[w-1]): contract against the
+        # single STEP mask (half the (W, LANES2) VPU mask passes of the
+        # old interval sel) and difference the prefix accumulator on lanes
+        # at the end. The limb prefixes stay < 2^24 (255 * block span), so
+        # the differences are f32-EXACT — the kernel's exactness contract
+        # is unchanged.
+        s_step = (j < cum_incl).astype(jnp.bfloat16)  # (W, LANES2)
 
-        def plane_sum(u16):                          # (8, W) uint32 <= 65535
+        def limbs(u16):                              # (8, W) uint32 <= 65535
             # Mosaic has no uint32->bf16 cast; hop through int32 (exact,
             # values <= 255)
             l0 = (u16 & mask8).astype(jnp.int32).astype(jnp.bfloat16)
             l1 = (u16 >> 8).astype(jnp.int32).astype(jnp.bfloat16)
-            s0 = jax.lax.dot_general(
-                l0, sel, dims, preferred_element_type=jnp.float32
-            )                                        # (8, LANES2)
-            s1 = jax.lax.dot_general(
-                l1, sel, dims, preferred_element_type=jnp.float32
-            )
-            return s0, s1
+            return l0, l1
 
-        lo0, lo1 = plane_sum(wv & mask16)
-        hi0, hi1 = plane_sum(wv >> 16)
-        return (
-            (acc_lo[0] + lo0, acc_lo[1] + lo1),
-            (acc_hi[0] + hi0, acc_hi[1] + hi1),
+        lo0, lo1 = limbs(wv & mask16)
+        hi0, hi1 = limbs(wv >> 16)
+        # ONE (32, W) @ (W, LANES2) pass instead of four (8, W) matmuls
+        rows32 = jnp.concatenate([lo0, lo1, hi0, hi1], axis=0)
+        acc = acc + jax.lax.dot_general(
+            rows32, s_step, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (32, LANES2)
+        # lane-0 boundary prefix (rows with j < excl[0]; only window 0 —
+        # see the bf16 kernel note)
+        m0 = (((w0 + wi) * W + jlane) < prev_last).astype(jnp.float32)
+        acc0 = acc0 + jnp.sum(
+            rows32.astype(jnp.float32) * m0, axis=1, keepdims=True
         )
+        return acc, acc0
 
-    zeros = jnp.zeros((PACKED_PLANES, LANES2), jnp.float32)
-    (lo0, lo1), (hi0, hi1) = jax.lax.fori_loop(
-        0, nw, body, ((zeros, zeros), (zeros, zeros))
+    acc, acc0 = jax.lax.fori_loop(
+        0, nw, body,
+        (jnp.zeros((4 * PACKED_PLANES, LANES2), jnp.float32),
+         jnp.zeros((4 * PACKED_PLANES, 1), jnp.float32)),
     )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES2), 1)
+    prev = jnp.where(lane == 0, acc0, pltpu.roll(acc, 1, axis=1))
+    sums = acc - prev                                # (32, LANES2) exact
+    lo0 = sums[0:PACKED_PLANES]
+    lo1 = sums[PACKED_PLANES:2 * PACKED_PLANES]
+    hi0 = sums[2 * PACKED_PLANES:3 * PACKED_PLANES]
+    hi1 = sums[3 * PACKED_PLANES:]
     # sum(q) = 256 * (sum(l1) - 128*count) + sum(l0); see module note for
     # why this is f32-exact
     out_ref[0:PACKED_PLANES, :] = 256.0 * (lo1 - 128.0 * count) + lo0
@@ -383,10 +399,6 @@ def _segreduce_bf16_kernel(
     nw = blk_nw_ref[b]
 
     cum_incl = cum_ref[0:1, :]                       # (1, LANES2) int32
-    cum_excl = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (1, LANES2), 1) == 0,
-        cum_ref[1:2, 0:1], pltpu.roll(cum_incl, 1, axis=1)
-    )
 
     def dma(slot, wi):
         return pltpu.make_async_copy(
@@ -401,7 +413,12 @@ def _segreduce_bf16_kernel(
     subl = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
     hi_mask = jnp.int32(-65536)  # 0xFFFF0000
 
-    def body(wi, acc):
+    jlane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    prev_last = cum_ref[1:2, 0:1]                    # (1, 1) block excl[0]
+
+    def body(wi, carry):
+        acc, acc0 = carry
+
         @pl.when(wi + 1 < nw)
         def _():
             dma((wi + 1) % 2, wi + 1).start()
@@ -416,16 +433,37 @@ def _segreduce_bf16_kernel(
         ).astype(jnp.bfloat16)                       # channels 8..15
         rows16 = jnp.concatenate([lo, hi], axis=0)   # (16, W) bf16
         j = (w0 + wi) * W + subl                     # (W, 1)
-        sel = ((j >= cum_excl) & (j < cum_incl)).astype(jnp.bfloat16)
-        return acc + jax.lax.dot_general(
-            rows16, sel, (((1,), (0,)), ((), ())),
+        # Runs are CONTIGUOUS (cum_excl[w] == cum_incl[w-1]), so the
+        # one-hot contraction runs against the single STEP mask
+        # (j < incl_w) — HALF the (W, LANES2) VPU mask passes — and each
+        # run sum falls out as a lane-shifted difference of the tiny
+        # (16, LANES2) prefix accumulator below. Differences of prefixes
+        # add one f32 ulp(prefix) of rounding, ~2^-24 * |block prefix| —
+        # three orders below the rows' own 2^-9 pack rounding.
+        s_step = (j < cum_incl).astype(jnp.bfloat16)  # (W, LANES2)
+        acc = acc + jax.lax.dot_general(
+            rows16, s_step, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                            # (16, LANES2)
 
-    acc = jax.lax.fori_loop(
-        0, nw, body, jnp.zeros((2 * PACKED_PLANES, LANES2), jnp.float32)
+        # lane-0 boundary: subtract rows with j < excl[0]. Only window 0
+        # can hold such rows (blk_wstart = excl[0] // W, so
+        # excl[0] < (w0+1)*W and the mask is identically false later).
+        m0 = (((w0 + wi) * W + jlane) < prev_last).astype(jnp.float32)
+        acc0 = acc0 + jnp.sum(
+            rows16.astype(jnp.float32) * m0, axis=1, keepdims=True
+        )
+        return acc, acc0
+
+    acc, acc0 = jax.lax.fori_loop(
+        0, nw, body,
+        (jnp.zeros((2 * PACKED_PLANES, LANES2), jnp.float32),
+         jnp.zeros((2 * PACKED_PLANES, 1), jnp.float32)),
     )
-    out_ref[:, :] = acc
+    # out[w] = prefix[w] - prefix[w-1]; lane 0 subtracts the boundary sum
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES2), 1)
+    prev = jnp.where(lane == 0, acc0, pltpu.roll(acc, 1, axis=1))
+    out_ref[:, :] = acc - prev
 
     nb = b + 1
     in_grid = nb < pl.num_programs(0)
@@ -447,7 +485,11 @@ def segment_reduce_packed_bf16(rows_pm: Array, cum: Array) -> Array:
       bf16_bits(g[k, c+8]) << 16 | bf16_bits(g[k, c]); instances grouped by
       gaussian (run [cum[g-1], cum[g])). K a multiple of 1024.
     cum: (N,) int inclusive run-end prefix, N a multiple of 256.
-    Returns (16, N) f32: exact per-run sums of the packed bf16 values.
+    Returns (16, N) f32 per-run sums of the packed bf16 values, computed
+    as step-mask prefix differences: error ~2^-23 of the block-prefix
+    magnitude per channel — three orders below the rows' own 2^-9 pack
+    rounding (the u16 variant keeps bit-exactness; its limbs are
+    integers, so prefixes < 2^24 difference exactly).
     """
     p, k = rows_pm.shape
     n = cum.shape[0]

@@ -88,10 +88,13 @@ def test_feature_major_kernel_matches_oracle():
 
 def test_segment_reduce_packed_bf16_matches_oracle():
     """Kernel-packed bf16 gradient rows (rasterize_vjp._pack_grad_bf16)
-    summed by segment_reduce_packed_bf16 must equal the numpy oracle: the
-    per-run f32 sum of the bf16-ROUNDED values (sel products are exact and
-    the MXU accumulates in f32, so only f32 summation-order rounding
-    remains — ~ulp of the run sum)."""
+    summed by segment_reduce_packed_bf16 must equal the numpy oracle (the
+    per-run f32 sum of the bf16-ROUNDED values) within the kernel's
+    documented error model: runs fall out as lane-shifted differences of
+    a per-block step-mask PREFIX accumulator, so the bound is ~2^-23 of
+    the channel's block-prefix magnitude — three orders below the rows'
+    own 2^-9 pack rounding (which the oracle shares, so it cancels here;
+    the tolerance below covers only the prefix-difference term)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -123,7 +126,10 @@ def test_segment_reduce_packed_bf16_matches_oracle():
     for i in range(n):
         expect[i] = g_bf[:, start:cum[i]].sum(axis=1)
         start = cum[i]
-    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+    # scale the tolerance to the prefix magnitude per channel (the
+    # documented bound; with this seed the observed max is ~2e-4)
+    atol = float(np.abs(g_bf).sum(axis=1).max()) * 2.0 ** -22
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=atol)
 
     # the kernel's integer round-to-nearest-even == jnp bf16 cast
     vals = np.concatenate([
