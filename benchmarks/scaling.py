@@ -93,11 +93,42 @@ def _cpu_part(args) -> dict:
     mesh = make_mesh(d)
     cfg = TileConfig(w, h, 16, 16)
 
-    def band_split(y0, y1, x0, x1, count, n_bands):
+    def equal_bounds(n_bands):
         rows_per_band = padded_band_height(h, n_bands, 16) // 16
+        return np.arange(n_bands + 1) * rows_per_band
+
+    def balanced_bounds(y0, y1, x0, x1, count, n_bands):
+        """NumPy mirror of dist_render._balanced_boundaries: per-tile-row
+        instance load (x-tile-count weighted), cumulative split at k/D of
+        the total, monotone clamp into the [1 row, 2x-equal-share]
+        corridor."""
+        n_rows = -(-h // 16)
+        max_rows = min(n_rows, 4 * (-(-n_rows // n_bands)))
+        min_rows = 1 if n_rows >= n_bands else 0
+        wgt = (x1 - x0 + 1) * (count > 0)
+        cover = np.zeros(n_rows)
+        for r in range(n_rows):
+            cover[r] = (wgt * (np.clip(y0, 0, n_rows - 1) <= r)
+                        * (r <= np.clip(y1, 0, n_rows - 1))).sum()
+        cum = np.cumsum(cover)
+        targets = cum[-1] * np.arange(1, n_bands) / n_bands
+        raw = np.searchsorted(cum, targets, side="left")
+        bounds = [0]
+        for i, rd in enumerate(raw):
+            dd = i + 1
+            lo_b = max(bounds[-1] + min_rows,
+                       n_rows - (n_bands - dd) * max_rows)
+            hi_b = min(bounds[-1] + max_rows,
+                       n_rows - (n_bands - dd) * min_rows)
+            bounds.append(int(np.clip(rd, lo_b, hi_b)))
+        bounds.append(n_rows)
+        return np.asarray(bounds)
+
+    def band_split(y0, y1, x0, x1, count, bounds):
         counts = []
+        n_bands = len(bounds) - 1
         for b in range(n_bands):
-            lo, hi = b * rows_per_band, (b + 1) * rows_per_band - 1
+            lo, hi = bounds[b], bounds[b + 1] - 1
             ry0 = np.maximum(y0, lo)
             ry1 = np.minimum(y1, hi)
             rows = np.maximum(ry1 - ry0 + 1, 0) * (count > 0)
@@ -106,6 +137,7 @@ def _cpu_part(args) -> dict:
         return counts, max(counts) * n_bands / total
 
     per_pose, per_pose2 = [], []
+    per_pose_eq, per_pose2_eq = [], []
     band_counts = None
     for eye, target in poses:
         cam = make_camera(eye, target, width=w, height=h)
@@ -117,10 +149,16 @@ def _cpu_part(args) -> dict:
         )
         x0, x1, y0, y1, count = (np.asarray(v) for v in
                                  gaussian_tile_span(proj, cfg))
-        counts, bal = band_split(y0, y1, x0, x1, count, d)
-        _, bal2 = band_split(y0, y1, x0, x1, count, 2 * d)
+        span = (y0, y1, x0, x1, count)
+        counts, bal = band_split(
+            *span, balanced_bounds(*span, d))
+        _, bal2 = band_split(*span, balanced_bounds(*span, 2 * d))
+        _, bal_eq = band_split(*span, equal_bounds(d))
+        _, bal2_eq = band_split(*span, equal_bounds(2 * d))
         per_pose.append(round(bal, 3))
         per_pose2.append(round(bal2, 3))
+        per_pose_eq.append(round(bal_eq, 3))
+        per_pose2_eq.append(round(bal2_eq, 3))
         if band_counts is None:
             band_counts = counts
 
@@ -140,11 +178,17 @@ def _cpu_part(args) -> dict:
     return {
         "band_scene": scene_src,
         "band_instances": band_counts,
+        # LOAD-BALANCED boundaries (the render path's default since round
+        # 5); the *_equalheight fields keep the round-4 fixed-band number
+        # for comparison
         "band_balance_per_pose": per_pose,
         "band_balance_per_pose_2host": per_pose2,
+        "band_balance_per_pose_equalheight": per_pose_eq,
         # conservative: the WORST pose sets the efficiency model
         "band_balance_maxdev": max(per_pose),
         "band_balance_maxdev_2host": max(per_pose2),
+        "band_balance_maxdev_equalheight": max(per_pose_eq),
+        "band_balance_maxdev_2host_equalheight": max(per_pose2_eq),
         "overflow_per_band": [int(v) for v in np.asarray(overflow)],
         "parity_vs_single_chip": parity,
         "parity_pixels_above_1e3": parity_pixels,

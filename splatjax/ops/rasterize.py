@@ -449,10 +449,11 @@ _LOG_OM_MIN = -60.0
 
 def clip_bounds_alpha(alpha_clip) -> bool:
     """True iff alpha_clip bounds alpha strictly below 1 *after f32
-    rounding*. The kernels clip in f32 (jnp.minimum in _chunk_alpha), so a
-    Python double like 1 - 1e-8 rounds to exactly 1.0f and does NOT bound
-    alpha — comparing the double (`alpha_clip < 1.0`) would wrongly skip
-    the log1p(-1) = -inf / divide-by-(1-alpha)==0 guards."""
+    rounding*. The kernels clip in LOG space in f32
+    (jnp.minimum(power, log_clip) in _chunk_alpha), so a Python double
+    like 1 - 1e-8 rounds to exactly 1.0f (log_clip == 0.0f) and does NOT
+    bound alpha — comparing the double (`alpha_clip < 1.0`) would wrongly
+    skip the log1p(-1) = -inf / divide-by-(1-alpha)==0 guards."""
     return alpha_clip is not None and float(np.float32(alpha_clip)) < 1.0
 
 

@@ -314,8 +314,9 @@ def _bwd_kernel(
             # exp/log ulp below the clip value, so comparing alpha
             # against alpha_clip would never fire)
             g_alpha = jnp.where(p_raw < log_clip, g_alpha, 0.0)
-        # out-of-range lanes already have alpha == 0 (opacity-row masking
-        # in _chunk_alpha), so g_power/w vanish there without a select;
+        # out-of-range lanes carry alpha ~ 1e-30 (the log-space opacity
+        # fold in _chunk_alpha maps masked lanes to log(1e-30), not to
+        # exactly 0), so g_power/w are negligible there without a select;
         # only the row WRITE below needs the explicit in_range mask
         g_power = g_alpha * alpha                 # d(exp(p)*o)/dp = alpha
         w = alpha * t_k

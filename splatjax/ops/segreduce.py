@@ -179,9 +179,9 @@ def _segreduce_u16_kernel(
     mask16 = jnp.uint32(0xFFFF)
     mask8 = jnp.uint32(0xFF)
 
-    def body(wi, carry):
-        acc, acc0 = carry
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES2), 1)
 
+    def body(wi, acc):
         @pl.when(wi + 1 < nw)
         def _():
             dma((wi + 1) % 2, wi + 1).start()
@@ -193,10 +193,14 @@ def _segreduce_u16_kernel(
         j = (w0 + wi) * W + subl                     # (W, 1) absolute col
         # Runs are contiguous (excl[w] == incl[w-1]): contract against the
         # single STEP mask (half the (W, LANES2) VPU mask passes of the
-        # old interval sel) and difference the prefix accumulator on lanes
-        # at the end. The limb prefixes stay < 2^24 (255 * block span), so
-        # the differences are f32-EXACT — the kernel's exactness contract
-        # is unchanged.
+        # old interval sel), then difference the WINDOW prefix on lanes
+        # before accumulating — the per-window prefixes stay < 255*W
+        # (= 261120 < 2^24) so each difference is f32-EXACT regardless of
+        # the block's total span (differencing a whole-block prefix, the
+        # round-4 scheme, lost exactness once a block spanned > 64
+        # windows: 255 * span exceeded 2^24 and the prefix difference
+        # rounded). The accumulated per-run sums keep the original
+        # contract: exact while 255 * run_length < 2^24.
         s_step = (j < cum_incl).astype(jnp.bfloat16)  # (W, LANES2)
 
         def limbs(u16):                              # (8, W) uint32 <= 65535
@@ -210,26 +214,23 @@ def _segreduce_u16_kernel(
         hi0, hi1 = limbs(wv >> 16)
         # ONE (32, W) @ (W, LANES2) pass instead of four (8, W) matmuls
         rows32 = jnp.concatenate([lo0, lo1, hi0, hi1], axis=0)
-        acc = acc + jax.lax.dot_general(
+        win = jax.lax.dot_general(
             rows32, s_step, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                            # (32, LANES2)
-        # lane-0 boundary prefix (rows with j < excl[0]; only window 0 —
-        # see the bf16 kernel note)
+        )                                            # (32, LANES2) prefix
+        # lane-0 boundary prefix (rows with j < excl[0]; nonzero only in
+        # window 0 — blk_wstart = excl[0] // W puts excl[0] inside it)
         m0 = (((w0 + wi) * W + jlane) < prev_last).astype(jnp.float32)
-        acc0 = acc0 + jnp.sum(
+        win0 = jnp.sum(
             rows32.astype(jnp.float32) * m0, axis=1, keepdims=True
         )
-        return acc, acc0
+        prev_w = jnp.where(lane == 0, win0, pltpu.roll(win, 1, axis=1))
+        return acc + (win - prev_w)
 
-    acc, acc0 = jax.lax.fori_loop(
+    sums = jax.lax.fori_loop(
         0, nw, body,
-        (jnp.zeros((4 * PACKED_PLANES, LANES2), jnp.float32),
-         jnp.zeros((4 * PACKED_PLANES, 1), jnp.float32)),
-    )
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES2), 1)
-    prev = jnp.where(lane == 0, acc0, pltpu.roll(acc, 1, axis=1))
-    sums = acc - prev                                # (32, LANES2) exact
+        jnp.zeros((4 * PACKED_PLANES, LANES2), jnp.float32),
+    )                                                # (32, LANES2) exact
     lo0 = sums[0:PACKED_PLANES]
     lo1 = sums[PACKED_PLANES:2 * PACKED_PLANES]
     hi0 = sums[2 * PACKED_PLANES:3 * PACKED_PLANES]
@@ -416,9 +417,9 @@ def _segreduce_bf16_kernel(
     jlane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     prev_last = cum_ref[1:2, 0:1]                    # (1, 1) block excl[0]
 
-    def body(wi, carry):
-        acc, acc0 = carry
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES2), 1)
 
+    def body(wi, acc):
         @pl.when(wi + 1 < nw)
         def _():
             dma((wi + 1) % 2, wi + 1).start()
@@ -436,34 +437,35 @@ def _segreduce_bf16_kernel(
         # Runs are CONTIGUOUS (cum_excl[w] == cum_incl[w-1]), so the
         # one-hot contraction runs against the single STEP mask
         # (j < incl_w) — HALF the (W, LANES2) VPU mask passes — and each
-        # run sum falls out as a lane-shifted difference of the tiny
-        # (16, LANES2) prefix accumulator below. Differences of prefixes
-        # add one f32 ulp(prefix) of rounding, ~2^-24 * |block prefix| —
-        # three orders below the rows' own 2^-9 pack rounding.
+        # run sum falls out as a lane-shifted difference of the (16,
+        # LANES2) WINDOW prefix, rebased every window: the differenced
+        # prefixes never exceed one window's magnitude, so the rounding
+        # is ~2^-24 * |window prefix| per window — bounded by the
+        # window's own row magnitudes rather than the whole block span's
+        # (the round-4 whole-block prefix gave a tiny run in a large
+        # block unbounded RELATIVE error; rebasing restores a per-run
+        # bound ~ nw * ulp(max window sum), still well below the rows'
+        # own 2^-9 pack rounding).
         s_step = (j < cum_incl).astype(jnp.bfloat16)  # (W, LANES2)
-        acc = acc + jax.lax.dot_general(
+        win = jax.lax.dot_general(
             rows16, s_step, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                            # (16, LANES2)
+        )                                            # (16, LANES2) prefix
 
         # lane-0 boundary: subtract rows with j < excl[0]. Only window 0
         # can hold such rows (blk_wstart = excl[0] // W, so
         # excl[0] < (w0+1)*W and the mask is identically false later).
         m0 = (((w0 + wi) * W + jlane) < prev_last).astype(jnp.float32)
-        acc0 = acc0 + jnp.sum(
+        win0 = jnp.sum(
             rows16.astype(jnp.float32) * m0, axis=1, keepdims=True
         )
-        return acc, acc0
+        prev_w = jnp.where(lane == 0, win0, pltpu.roll(win, 1, axis=1))
+        return acc + (win - prev_w)
 
-    acc, acc0 = jax.lax.fori_loop(
+    out_ref[:, :] = jax.lax.fori_loop(
         0, nw, body,
-        (jnp.zeros((2 * PACKED_PLANES, LANES2), jnp.float32),
-         jnp.zeros((2 * PACKED_PLANES, 1), jnp.float32)),
+        jnp.zeros((2 * PACKED_PLANES, LANES2), jnp.float32),
     )
-    # out[w] = prefix[w] - prefix[w-1]; lane 0 subtracts the boundary sum
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES2), 1)
-    prev = jnp.where(lane == 0, acc0, pltpu.roll(acc, 1, axis=1))
-    out_ref[:, :] = acc - prev
 
     nb = b + 1
     in_grid = nb < pl.num_programs(0)
@@ -486,10 +488,12 @@ def segment_reduce_packed_bf16(rows_pm: Array, cum: Array) -> Array:
       gaussian (run [cum[g-1], cum[g])). K a multiple of 1024.
     cum: (N,) int inclusive run-end prefix, N a multiple of 256.
     Returns (16, N) f32 per-run sums of the packed bf16 values, computed
-    as step-mask prefix differences: error ~2^-23 of the block-prefix
-    magnitude per channel — three orders below the rows' own 2^-9 pack
-    rounding (the u16 variant keeps bit-exactness; its limbs are
-    integers, so prefixes < 2^24 difference exactly).
+    as step-mask prefix differences REBASED per 1024-row window: error
+    per run ~ (windows spanned) * 2^-24 * (max window-prefix magnitude) —
+    bounded by window-local row magnitudes, not the block span's, and
+    well below the rows' own 2^-9 pack rounding. (The u16 variant is
+    bit-exact: its limbs are integers and the per-window prefixes stay
+    < 2^24, so every difference is exact.)
     """
     p, k = rows_pm.shape
     n = cum.shape[0]

@@ -35,9 +35,10 @@ from jax import shard_map
 
 from splatjax.camera import Camera
 from splatjax.ops.binning import TileConfig
-from splatjax.ops.rasterize import tiles_to_image
 from splatjax.parallel.dist_render import (
+    _assemble_band_tiles,
     _band_render_body,
+    max_band_rows,
     padded_band_height,
 )
 from splatjax.render import default_capacity, resolve_alpha_clip
@@ -57,6 +58,8 @@ def make_dp_band_train_step(
     capacity: Optional[int] = None,
     pair_capacity: Optional[int] = None,
     redistribute: str = "all_to_all",
+    steps_per_call: int = 1,
+    balance: str = "load",
 ):
     """Build a jitted 2-D-mesh train step.
 
@@ -66,7 +69,11 @@ def make_dp_band_train_step(
     where ``gnorm`` is the (N,) per-gaussian mean-gradient norm (the
     densify signal, already psum'd over views) and ``drops`` the total
     instance count lost to transfer/band/binning capacity this step.
-    Gaussian count must divide by the band-axis size. User-facing entry:
+    Gaussian count must divide by the band-axis size. With
+    ``steps_per_call=k > 1`` the step takes (k, D_view, ...) stacks and
+    scans k sequential steps in one dispatch (the same amortization as
+    the single-chip path — see FitConfig.steps_per_call for the
+    agreement contract). User-facing entry:
     ``fit(mesh=..., band_axis=...)`` routes here (train/fit.py).
     """
     from splatjax.train.fit import _optimizer
@@ -78,30 +85,39 @@ def make_dp_band_train_step(
     opt = _optimizer(cfg)
     alpha_clip = resolve_alpha_clip(cfg.alpha_clip, False)
 
-    band_h = padded_band_height(h, d_band, tile_size)
-    cfg_band = TileConfig(w, band_h, tile_size, tile_size)
-    cfg_full = TileConfig(w, band_h * d_band, tile_size, tile_size)
+    if balance == "load":
+        band_rows = max_band_rows(h, d_band, tile_size)
+        n_rows = -(-h // tile_size)
+    else:
+        band_rows = padded_band_height(h, d_band, tile_size) // tile_size
+        n_rows = band_rows * d_band
+    cfg_band = TileConfig(w, band_rows * tile_size, tile_size, tile_size)
 
     def shard_fn(means, scales, quats, colors, opacities, sh, mv, pr,
                  target):
         n_loc = means.shape[0]
-        pc = pair_capacity or max(-(-3 * n_loc // d_band // 128) * 128, 128)
+        # 6x N/D^2 pair capacity, matching render_sharded: the round-4
+        # trained-fixture run showed real assets concentrate ~2x into hot
+        # bands and the old 3x default silently dropped ~3% of instances
+        # (parallel/dist_render.py render_sharded docstring).
+        pc = pair_capacity or max(-(-6 * n_loc // d_band // 128) * 128, 128)
         cap = capacity or max(default_capacity(d_band * pc), 2048)
 
         def local_loss(ms, sc, qu, co, op, s):
-            out_tiles, my_drop = _band_render_body(
+            out_tiles, my_drop, bounds = _band_render_body(
                 ms, sc, qu, co, op, s, mv[0], pr[0],
                 axis=band_axis, n_dev=d_band, width=w, height=h,
-                band_h=band_h, cfg_band=cfg_band, pair_capacity=pc,
+                n_rows=n_rows, cfg_band=cfg_band, pair_capacity=pc,
                 capacity=cap, alpha_clip=alpha_clip,
                 early_stop=cfg.early_stop, redistribute=redistribute,
                 packed16=getattr(cfg, "feature_bytes", 32) == 16,
+                balance=balance,
             )
             tiles_full = jax.lax.all_gather(
                 out_tiles, band_axis, axis=0, tiled=True
             )
-            img = tiles_to_image(tiles_full, cfg_full)
-            img = img[band_h * d_band - h:]
+            img = _assemble_band_tiles(tiles_full, bounds, cfg_band,
+                                       n_rows, h)
             return (
                 combined_loss(img, target[0], ssim_weight=cfg.ssim_weight),
                 (img, my_drop),
@@ -139,18 +155,36 @@ def make_dp_band_train_step(
         check_vma=False,
     )
 
-    @jax.jit
-    def step(params: TrainableGaussians, opt_state, mvs, prs, targets):
+    def _step(params: TrainableGaussians, opt_state, mvs, prs, targets):
         scene = params.to_scene()
         n = scene.means.shape[0]
         sh = (
             scene.sh if scene.sh is not None
             else jnp.zeros((n, 0, 3), jnp.float32)
         )
+        # Deal gaussians round-robin to band shards exactly as
+        # render_sharded does (see the comment there): index-contiguous
+        # shards of real assets are spatially clustered and overflow the
+        # per-pair transfer caps. The permutation is static per gaussian
+        # count; parameters/optimizer state stay in ORIGINAL order outside
+        # the step (densify bucket growth recompiles with a fresh deal),
+        # and gradients are un-dealt on the way out.
+        n_sh = n // d_band
+        deal = jnp.arange(n).reshape(n_sh, d_band).T.reshape(-1)
+        inv_deal = jnp.arange(n).reshape(d_band, n_sh).T.reshape(-1)
+
+        def _deal(a):
+            return jnp.take(a, deal, axis=0)
+
         (g_means, g_scales, g_quats, g_colors, g_opac, g_sh, loss,
          p, drops) = sharded(
-            scene.means, scene.scales, scene.quats, scene.colors,
-            scene.opacities, sh, mvs, prs, targets,
+            _deal(scene.means), _deal(scene.scales), _deal(scene.quats),
+            _deal(scene.colors), _deal(scene.opacities), _deal(sh),
+            mvs, prs, targets,
+        )
+        (g_means, g_scales, g_quats, g_colors, g_opac, g_sh) = (
+            jnp.take(g, inv_deal, axis=0)
+            for g in (g_means, g_scales, g_quats, g_colors, g_opac, g_sh)
         )
         # chain scene-space gradients back through the parameter
         # activations (exp / sigmoid / normalize) with one tiny vjp
@@ -169,4 +203,27 @@ def make_dp_band_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss[0], p[0], gnorm, drops[0]
 
-    return step, opt
+    if steps_per_call <= 1:
+        return jax.jit(_step), opt
+
+    @jax.jit
+    def step_scan(params, opt_state, mvs, prs, targets):
+        """k = steps_per_call sequential 2-D-mesh steps in ONE dispatch.
+
+        mvs/prs: (k, D_view, 4, 4); targets: (k, D_view, H, W, 4).
+        Returns the LAST step's loss/psnr, the SUM of per-step gnorms,
+        and the SUM of per-step drops. Agrees with k separate dispatches
+        up to fusion/reassociation noise (FitConfig.steps_per_call)."""
+        def body(carry, xs):
+            p, os_ = carry
+            mv, pr, tg = xs
+            p, os_, loss, ps, gn, dr = _step(p, os_, mv, pr, tg)
+            return (p, os_), (loss, ps, gn, dr)
+
+        (params, opt_state), (losses, pss, gns, drs) = jax.lax.scan(
+            body, (params, opt_state), (mvs, prs, targets)
+        )
+        return (params, opt_state, losses[-1], pss[-1],
+                jnp.sum(gns, axis=0), jnp.sum(drs))
+
+    return step_scan, opt

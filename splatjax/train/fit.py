@@ -44,11 +44,15 @@ class FitConfig:
     # the quantized forward (ops/rasterize.py PACKED16 docs). Set 32 for
     # full-precision rows.
     feature_bytes: int = 16
-    # Steps folded into one jitted lax.scan dispatch. Math-identical to
-    # k sequential steps (same per-view order); amortizes the per-dispatch
-    # host/tunnel latency (~10-14 ms on the axon tunnel) so training runs
-    # at device speed — the standard TPU multi-step pattern. Densify
-    # granularity becomes k steps (densify.every should be a multiple).
+    # Steps folded into one jitted lax.scan dispatch. Runs the SAME ops in
+    # the SAME per-view order as k sequential steps, but XLA fuses the
+    # scanned body differently than the standalone step, so results agree
+    # only up to float reassociation noise (measured <~1e-5 relative on
+    # parameters over 6 steps; bitwise identity across fusion contexts is
+    # not an XLA guarantee). Amortizes the per-dispatch host/tunnel
+    # latency (~10-14 ms on the axon tunnel) so training runs at device
+    # speed — the standard TPU multi-step pattern. Densify granularity
+    # becomes k steps (densify.every should be a multiple).
     steps_per_call: int = 1
 
 
@@ -120,7 +124,9 @@ def make_train_step(
 
         mvs/prs: (k, 4, 4); targets: (k, H, W, 4). Returns the LAST
         step's loss/psnr and the SUM of the k per-step gnorm vectors
-        (densify is rejected with k > 1 — fit() raises)."""
+        (densify is rejected with k > 1 — fit() raises). Agrees with k
+        separate dispatches up to fusion/reassociation noise — see the
+        FitConfig.steps_per_call note."""
         def body(carry, xs):
             params, opt_state = carry
             mv, pr, target = xs
@@ -202,14 +208,33 @@ def make_dp_train_step(
         check_vma=False,
     )
 
-    @jax.jit
-    def step(params, opt_state, mvs, prs, targets):
+    def _step(params, opt_state, mvs, prs, targets):
         grads, loss, p, gnorm = sharded(params, mvs, prs, targets)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss[0], p[0], gnorm
 
-    return step, opt
+    if cfg.steps_per_call <= 1:
+        return jax.jit(_step), opt
+
+    @jax.jit
+    def step_scan(params, opt_state, mvs, prs, targets):
+        """k sequential DP steps in ONE dispatch: mvs/prs (k, B, 4, 4),
+        targets (k, B, H, W, 4). Returns the LAST step's loss/psnr and
+        the SUM of per-step gnorms (FitConfig.steps_per_call)."""
+        def body(carry, xs):
+            p, os_ = carry
+            mv, pr, tg = xs
+            p, os_, loss, ps, gn = _step(p, os_, mv, pr, tg)
+            return (p, os_), (loss, ps, gn)
+
+        (params, opt_state), (losses, pss, gns) = jax.lax.scan(
+            body, (params, opt_state), (mvs, prs, targets)
+        )
+        return (params, opt_state, losses[-1], pss[-1],
+                jnp.sum(gns, axis=0))
+
+    return step_scan, opt
 
 
 def fit(
@@ -284,7 +309,7 @@ def fit(
                 )
             return make_dp_band_train_step(
                 cameras, cfg, mesh, view_axis=dp_axis, band_axis=band_axis,
-                capacity=cfg.capacity,
+                capacity=cfg.capacity, steps_per_call=cfg.steps_per_call,
             )
         if mesh is not None:
             return make_dp_train_step(
@@ -319,15 +344,7 @@ def fit(
     projs = [c.projection for c in cameras]
     targets = [jnp.asarray(t[..., :4], jnp.float32) for t in targets]
 
-    k = cfg.steps_per_call if mesh is None else 1
-    if mesh is not None and cfg.steps_per_call > 1:
-        import warnings
-
-        warnings.warn(
-            "steps_per_call > 1 is only implemented for the single-chip "
-            "step; the mesh paths dispatch one step per call",
-            stacklevel=2,
-        )
+    k = cfg.steps_per_call
     if k > 1 and densify is not None:
         raise ValueError(
             "steps_per_call > 1 is incompatible with densify (the "
@@ -345,13 +362,23 @@ def fit(
     t_start = time.time()
     for i in range(start_step, cfg.steps, k):
         if mesh is not None:
-            # data-parallel: the next n_dp views round-robin, one per device
-            vis = [(i * n_dp + j) % len(cameras) for j in range(n_dp)]
+            # data-parallel: step i+t takes the next n_dp views
+            # round-robin, one per device; k > 1 stacks the per-step
+            # batches along a leading scan axis (same view order as k
+            # separate dispatches)
+            def _batch(src):
+                per_step = [
+                    jnp.stack([
+                        src[((i + t) * n_dp + j) % len(cameras)]
+                        for j in range(n_dp)
+                    ])
+                    for t in range(k)
+                ]
+                return per_step[0] if k == 1 else jnp.stack(per_step)
+
             out = step_fn(
-                params, opt_state,
-                jnp.stack([mvs[v] for v in vis]),
-                jnp.stack([projs[v] for v in vis]),
-                jnp.stack([targets[v] for v in vis]),
+                params, opt_state, _batch(mvs), _batch(projs),
+                _batch(targets),
             )
             if band_axis is not None:
                 params, opt_state, loss, p, gnorm, drops = out

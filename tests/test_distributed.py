@@ -359,8 +359,12 @@ def test_max_bands_span_exact_per_band_drop_accounting():
     )
     cam = make_camera((0, 0, 2.2), (0, 0, 0), width=64, height=h)
     mesh = make_mesh(8)
+    # balance="equal": this test pins the fixed-band span-cap accounting;
+    # the default load-balanced mode doubles the window (max_bands=8 at 8
+    # devices) so this 8-band splat would not be cut at all there
     img, overflow = render_sharded(
-        scene, cam, mesh, early_stop=0.0, return_overflow=True
+        scene, cam, mesh, early_stop=0.0, return_overflow=True,
+        balance="equal",
     )
     overflow = np.asarray(overflow)
     # mean band = 4 (y = 64 px, y-up), window [3, 7) kept, bands
@@ -447,3 +451,216 @@ def test_band_render_trained_fixture_no_drops():
     img_1 = render(scene, cam, early_stop=0.0)
     diff = np.abs(np.asarray(img_s) - np.asarray(img_1)).max(-1)
     assert int((diff > 1e-3).sum()) <= 3, (diff.max(), (diff > 1e-3).sum())
+
+
+def test_band_train_trained_fixture_no_drops():
+    """Round-4 residual (VERDICT weak #3): the 2-D TRAINING path must
+    carry the same transport fix as render_sharded — round-robin dealing
+    of gaussians to band shards + the 6x N/D^2 per-pair transfer
+    capacity. Training on the (clustered, real-asset) trained fixture
+    over two poses must drop ZERO instances; the old contiguous shards +
+    3x capacity silently lost ~3%."""
+    from splatjax.io import load_splat, tile_scene
+    from splatjax.parallel import make_dp_band_train_step, make_mesh_2d
+    from splatjax.train import FitConfig
+
+    base = load_splat(
+        os.path.join(os.path.dirname(__file__), "fixtures",
+                     "trained_scene.splat")
+    )
+    n = 40_960
+    scene = tile_scene(base, n)
+    params = TrainableGaussians.from_scene(scene)
+    cams = [
+        make_camera((0.3 * i - 0.15, 0, 2.8), (0, 0, 0),
+                    width=256, height=256)
+        for i in range(2)
+    ]
+    rng = np.random.default_rng(3)
+    targets = [
+        jnp.asarray(rng.random((256, 256, 4)).astype(np.float32))
+        for _ in cams
+    ]
+    cfg = FitConfig(early_stop=0.0, feature_bytes=32)
+    mesh = make_mesh_2d((2, 4), axis_names=("view", "band"))
+    step, opt = make_dp_band_train_step(
+        cams, cfg, mesh, view_axis="view", band_axis="band",
+    )
+    _, _, loss, _, gnorm, drops = step(
+        params, opt.init(params),
+        jnp.stack([c.modelview for c in cams]),
+        jnp.stack([c.projection for c in cams]),
+        jnp.stack(targets),
+    )
+    assert int(drops) == 0, int(drops)
+    assert np.isfinite(float(loss))
+    # the densify signal is un-dealt back into the caller's row order
+    assert gnorm.shape == (n,)
+
+
+def test_band_train_steps_per_call_scan_matches_per_step():
+    """steps_per_call > 1 on the 2-D mesh: the scanned dispatch runs the
+    same views in the same order as per-step dispatches; results agree up
+    to the documented fusion/reassociation noise (see
+    FitConfig.steps_per_call). Also exercises fit()'s (k, D_view, ...)
+    batch stacking through the user-facing entry."""
+    from splatjax.parallel import make_mesh_2d
+    from splatjax.train import FitConfig, fit
+
+    scene, _ = _setup(n=64, seed=191)
+    cams = [
+        make_camera((0.3 * i - 0.3, 0.1, 2.1), (0, 0, 0),
+                    width=48, height=32)
+        for i in range(2)
+    ]
+    targets = [render(scene, c, early_stop=0.0) for c in cams]
+    init = TrainableGaussians.from_scene(
+        synthetic_scene(64, seed=192, extent=0.6, scale_range=(0.03, 0.08))
+    )
+    mesh = make_mesh_2d((2, 4), axis_names=("view", "band"))
+    base = dict(steps=4, log_every=2, capacity=2048, lr_means=2e-3)
+    p1, h1 = fit(init, cams, targets, FitConfig(**base, steps_per_call=1),
+                 mesh=mesh, dp_axis="view", band_axis="band")
+    p2, h2 = fit(init, cams, targets, FitConfig(**base, steps_per_call=2),
+                 mesh=mesh, dp_axis="view", band_axis="band")
+    np.testing.assert_allclose(
+        np.asarray(p1.means), np.asarray(p2.means), rtol=0, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(p1.logit_opacities), np.asarray(p2.logit_opacities),
+        rtol=0, atol=1e-3,
+    )
+    assert abs(h1[-1]["loss"] - h2[-1]["loss"]) < 1e-5
+    assert h2[-1]["drops"] == 0
+
+
+def test_dp_train_steps_per_call_scan_matches_per_step():
+    """steps_per_call > 1 on the 1-D DP mesh (replicated params, one view
+    per device): scanned vs per-step dispatch agree within the documented
+    noise contract."""
+    from splatjax.parallel import make_mesh
+    from splatjax.train import FitConfig, fit
+
+    scene, _ = _setup(n=96, seed=201)
+    cams = [
+        make_camera((0.2 * i - 0.4, 0.05 * i, 2.2), (0, 0, 0),
+                    width=48, height=32)
+        for i in range(8)
+    ]
+    targets = [render(scene, c, early_stop=0.0) for c in cams]
+    init = TrainableGaussians.from_scene(
+        synthetic_scene(96, seed=202, extent=0.6, scale_range=(0.03, 0.08))
+    )
+    mesh = make_mesh(8)
+    base = dict(steps=4, log_every=2, capacity=2048, lr_means=2e-3)
+    p1, h1 = fit(init, cams, targets, FitConfig(**base, steps_per_call=1),
+                 mesh=mesh)
+    p2, h2 = fit(init, cams, targets, FitConfig(**base, steps_per_call=2),
+                 mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(p1.means), np.asarray(p2.means), rtol=0, atol=1e-5
+    )
+    assert abs(h1[-1]["loss"] - h2[-1]["loss"]) < 1e-5
+
+
+def test_balanced_bands_parity_on_concentrated_scene():
+    """Load-balanced band boundaries (VERDICT r4 item 3): a scene whose
+    splats concentrate into the lower half of the image must (a) render
+    identically to the single-chip pipeline with ZERO drops and (b) split
+    the duplicated instances substantially more evenly than fixed
+    equal-height bands (real trained scenes load equal bands ~2x
+    unevenly, which cut the modeled 2-host efficiency to 0.913 —
+    docs/SCALING_EVIDENCE.md; the 1080p-granularity evidence lives in
+    benchmarks/scaling.py, this test checks the mechanism at 32 tile
+    rows)."""
+    import dataclasses
+
+    from splatjax.ops.binning import TileConfig, gaussian_tile_span
+    from splatjax.ops.projection import project_gaussians
+    from splatjax.parallel.dist_render import (
+        _balanced_boundaries, max_band_rows,
+    )
+    from splatjax.scene import build_covariances
+
+    rng = np.random.default_rng(77)
+    n = 2048
+    w_px, h_px = 128, 512
+    scene = synthetic_scene(n, seed=77, extent=0.6,
+                            scale_range=(0.02, 0.05))
+    # concentrate 85% of the splats into the lower half of the view
+    means = np.asarray(scene.means).copy()
+    hot = rng.random(n) < 0.85
+    means[hot, 1] = -0.5 + 0.5 * rng.random(hot.sum())
+    scene = dataclasses.replace(scene, means=jnp.asarray(means))
+    cam = make_camera((0, 0, 2.2), (0, 0, 0), width=w_px, height=h_px)
+    mesh = make_mesh(8)
+
+    img_bal, ov = render_sharded(
+        scene, cam, mesh, early_stop=0.0, return_overflow=True,
+        balance="load",
+    )
+    # explicit capacity: the concentrated scene overflows the single-
+    # chip default (8192) — the reference must not drop instances
+    img_1 = render(scene, cam, early_stop=0.0, capacity=65536)
+    assert int(np.asarray(ov).sum()) == 0
+    np.testing.assert_allclose(
+        np.asarray(img_bal), np.asarray(img_1), atol=1e-5
+    )
+
+    # equal-height mode must still work and agree too
+    img_eq = render_sharded(scene, cam, mesh, early_stop=0.0,
+                            balance="equal")
+    np.testing.assert_allclose(
+        np.asarray(img_eq), np.asarray(img_1), atol=1e-5
+    )
+
+    # measure the split quality with the SAME boundary function the
+    # render used (single-device shard_map call -> psum over 1 device)
+    cfg = TileConfig(w_px, h_px, 16, 16)
+    proj = project_gaussians(
+        scene.means, build_covariances(scene.quats, scene.scales),
+        scene.colors, scene.opacities, cam.modelview, cam.projection,
+        w_px, h_px,
+        max_scales=jnp.max(jnp.asarray(scene.scales), axis=-1),
+    )
+    x0, x1, y0, y1, count = (
+        np.asarray(v) for v in gaussian_tile_span(proj, cfg)
+    )
+    n_dev = 8
+    n_rows = h_px // 16
+    tile = 16
+    my = np.asarray(proj.mean2d[:, 1])
+    by = np.asarray(proj.bbox_half[:, 1])
+    r0 = np.floor((my - by) / tile).astype(np.int32)
+    r1 = np.floor((my + by) / tile).astype(np.int32)
+    on = np.asarray(proj.mask) & (r1 >= 0) & (r0 <= n_rows - 1)
+
+    single = jax.sharding.Mesh(np.asarray(jax.devices()[:1]), ("b",))
+    from jax import shard_map
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+
+    bounds = np.asarray(jax.jit(shard_map(
+        partial(_balanced_boundaries, n_rows=n_rows, n_dev=n_dev,
+                max_rows=max_band_rows(h_px, n_dev, tile), axis="b"),
+        mesh=single, in_specs=(P(),) * 4, out_specs=P(),
+        check_vma=False,
+    ))(jnp.asarray(r0), jnp.asarray(r1),
+       jnp.asarray((x1 - x0 + 1).astype(np.float32)), jnp.asarray(on)))
+    assert bounds[0] == 0 and bounds[-1] == n_rows
+    assert np.all(np.diff(bounds) >= 0)
+
+    def split_dev(bnds):
+        counts = []
+        for b in range(len(bnds) - 1):
+            ry0 = np.maximum(y0, bnds[b])
+            ry1 = np.minimum(y1, bnds[b + 1] - 1)
+            rows = np.maximum(ry1 - ry0 + 1, 0) * (count > 0)
+            counts.append(float((rows * (x1 - x0 + 1)).sum()))
+        return max(counts) * (len(bnds) - 1) / max(sum(counts), 1)
+
+    dev_bal = split_dev(bounds)
+    dev_eq = split_dev(np.arange(n_dev + 1) * (n_rows // n_dev))
+    assert dev_eq > 1.4, dev_eq      # the scene really is concentrated
+    assert dev_bal <= 1.35, (dev_bal, bounds)
+    assert dev_bal < 0.75 * dev_eq, (dev_bal, dev_eq, bounds)

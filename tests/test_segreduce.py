@@ -142,3 +142,41 @@ def test_segment_reduce_packed_bf16_matches_oracle():
     want = np.asarray(jnp.asarray(vals).astype(jnp.bfloat16).astype(
         jnp.float32))
     np.testing.assert_array_equal(lo, want)
+
+
+def test_packed_u16_exact_with_giant_run_in_block():
+    """Regression (round-4 defect): a block whose instance span exceeds
+    64 windows (>65k rows) must still produce EXACT sums for the small
+    runs sharing the block. The round-4 whole-block prefix difference
+    rounded once the limb prefixes crossed 2^24 (observed: 4-quant-unit
+    errors on 1-row runs sharing a block with a 160k-row run); the
+    per-window prefix rebase keeps every difference exact. The giant run
+    itself exceeds the documented contract (255 * run < 2^24 <=> run <=
+    ~65k > any real tile count) and is only checked loosely."""
+    rng = np.random.default_rng(11)
+    n = LANES2
+    count = np.ones((n,), np.int64)
+    giant = 1
+    count[giant] = 160_000
+    cum = np.cumsum(count).astype(np.int32)
+    k = int(cum[-1])
+    q = rng.integers(-32767, 32768, size=(k, 16)).astype(np.int32)
+    u = (q + 32768).astype(np.uint32)
+    packed = ((u[:, 8:] << 16) | u[:, :8]).astype(np.int32)   # (K, 8)
+    k_pad = -(-k // W) * W
+    rows_pm = np.zeros((8, k_pad), np.int32)
+    rows_pm[:, :k] = packed.T
+
+    out = np.asarray(
+        segment_reduce_packed_u16(jnp.asarray(rows_pm), jnp.asarray(cum))
+    ).T                                                       # (n, 16)
+
+    oracle = np.zeros((n, 16), np.int64)
+    gid = np.repeat(np.arange(n), count)
+    np.add.at(oracle, gid, q.astype(np.int64))
+
+    small = count == 1
+    np.testing.assert_array_equal(out[small], oracle[small].astype(np.float64))
+    np.testing.assert_allclose(
+        out[giant], oracle[giant].astype(np.float64), rtol=2e-3, atol=4096
+    )

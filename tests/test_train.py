@@ -207,9 +207,13 @@ def test_densify_budget_saturation_keeps_coverage():
 
 
 def test_steps_per_call_scan_is_step_identical():
-    """A scanned k-step dispatch (FitConfig.steps_per_call) must be
-    math-identical to k sequential single-step dispatches: same view
-    order, same optimizer states, same final parameters."""
+    """A scanned k-step dispatch (FitConfig.steps_per_call) runs the same
+    ops in the same view order as k sequential single-step dispatches.
+    XLA fuses the scanned body differently than the standalone step, so
+    the agreement contract is reassociation-noise-level, not bitwise
+    (measured: means ~1e-6 abs over 6 steps at lr 1.6e-4; high-lr leaves
+    like opacity Adam at 5e-2 accumulate ~1e-4). Tolerances below are the
+    documented contract (FitConfig.steps_per_call) with ~10x headroom."""
     import numpy as np
 
     from splatjax.camera import make_camera
@@ -228,11 +232,10 @@ def test_steps_per_call_scan_is_step_identical():
     p1, h1 = fit(scene, cams, targets, FitConfig(**base, steps_per_call=1))
     p2, h2 = fit(scene, cams, targets, FitConfig(**base, steps_per_call=3))
     np.testing.assert_allclose(
-        np.asarray(p1.means), np.asarray(p2.means), rtol=0, atol=1e-6
+        np.asarray(p1.means), np.asarray(p2.means), rtol=0, atol=1e-5
     )
-    # same ops, but XLA fuses the scanned body differently than the
-    # standalone step, so high-lr leaves (opacity Adam at 5e-2, division
-    # by sqrt(v)+eps) accumulate ~1e-4 of reassociation noise over 6 steps
+    # high-lr leaves (opacity Adam at 5e-2, division by sqrt(v)+eps)
+    # accumulate ~1e-4 of reassociation noise over 6 steps
     np.testing.assert_allclose(
         np.asarray(p1.logit_opacities), np.asarray(p2.logit_opacities),
         rtol=0, atol=1e-3,
