@@ -197,12 +197,12 @@ def main():
 
     @jax.jit
     def redraw_scan(mvs, cb):
-        means_i, cov6_i, colors_i, opa_i, maxs_i, b = cb
+        means_i, cov6_i, colors_i, opa_i, maxs_i, b, prm_cm = cb
 
         def body(c, mv):
             img, _ = _render_binned_cached_impl(
                 means_i, cov6_i, colors_i, opa_i, maxs_i, None,
-                mv, cam.projection, None, None, None, b,
+                mv, cam.projection, None, None, None, b, prm_cm,
                 width=width, height=height, tile_size=16,
                 alpha_clip=0.999, early_stop=1e-4, viewer_exact=False,
                 return_depth=False, feature_bytes=16,
@@ -212,7 +212,7 @@ def main():
         return jax.lax.scan(body, 0.0, mvs)[0]
 
     cb_args = (bins.means, bins.cov6, bins.colors, bins.opacities,
-               bins.max_scales, bins.bins)
+               bins.max_scales, bins.bins, bins.prm_cm)
     t_redraw_steady = timeit(redraw_scan, orbit_mvs, cb_args) / SCAN_K
 
     # steady-state exact forward: 8 chained full-pipeline frames in one

@@ -351,6 +351,34 @@ def gaussian_tile_span(
     return x0, x1, y0, y1, count.astype(jnp.int32)
 
 
+def _searchsorted_right_blocked(a: Array, q: Array, block: int = 1024):
+    """#{i : a[i] <= q} for sorted ``a`` — jnp.searchsorted(side='right')
+    without the ~20-iteration binary-search while loop (measured ~0.4 ms
+    at 1M rows / 1.5k queries on v5e; XLA gathers the queries from HBM
+    every iteration). One coarse compare matrix counts the FULL blocks
+    (last element <= q), one contiguous-window gather pulls the boundary
+    block, one fine compare finishes: ~0.05 ms of dense VPU compares."""
+    n = a.shape[0]
+    nb = -(-n // block)
+    a2 = jnp.pad(
+        a, (0, nb * block - n), constant_values=jnp.inf
+    ).reshape(nb, block)
+    lasts = a2[:, block - 1]                             # (nb,)
+    full = jnp.sum(
+        (lasts[None, :] <= q[:, None]).astype(jnp.int32), axis=1
+    )                                                    # (nq,) full blocks
+    base = jnp.minimum(full, nb - 1)
+    # ROW gather (contiguous 4*block-byte rows), not a (nq, block)
+    # element gather — element gathers pay the per-element transaction
+    # floor (measured +7 ms at 1.5M elements on v5e)
+    win = a2[base]                                       # (nq, block)
+    fine = jnp.sum((win <= q[:, None]).astype(jnp.int32), axis=1)
+    # full == nb (every block full): the window re-counts block nb-1,
+    # which is already in full*block — drop it
+    fine = jnp.where(full >= nb, 0, fine)
+    return full * block + fine
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "capacity", "with_features"),
@@ -471,7 +499,7 @@ def bin_gaussians(
     j_bounds = jnp.arange(
         0, cap_pad, stride, dtype=jnp.int32
     ).astype(jnp.float32)
-    sub_g0 = jnp.searchsorted(cum_d, j_bounds, side="right").astype(jnp.int32)
+    sub_g0 = _searchsorted_right_blocked(cum_d, j_bounds)
     sub_g0 = jnp.minimum(sub_g0, n_vis)
 
     total_i = total.astype(jnp.int32)
@@ -490,10 +518,43 @@ def bin_gaussians(
     tile_sorted = tile_sorted[:capacity]
     gid_sorted = gid_sorted[:capacity]
 
-    # tile_sorted is sorted, so end[t] == start[t+1]: one binary-search pass
-    # over T+1 queries instead of separate left/right passes
-    tile_range = jnp.arange(cfg.num_tiles + 1, dtype=jnp.int32)
-    bounds = jnp.searchsorted(tile_sorted, tile_range, side="left")
+    # Per-tile bounds WITHOUT a searchsorted over the K_cap array (the 22
+    # binary-search iterations x 8161-query gathers measured 2.6 ms/step
+    # at 3M/1080p): tile_sorted's per-tile counts equal a separable
+    # rectangle histogram, computed as TWO one-hot MXU contractions
+    # (~0.3 ms) + one (T,) cumsum. tile ids are ty*tiles_x+tx (row-major
+    # rect enumeration, ops/expand.py), so for each gaussian the KEPT
+    # depth-major prefix c_keep = clip(capacity - cum_ex, 0, count)
+    # covers full_rows = floor(c_keep/span_w) whole tile rows plus a
+    # partial row of (c_keep mod span_w) leading columns — exactly the
+    # instances the expansion emits under the capacity cut, so the
+    # cumsum matches searchsorted(tile_sorted, arange(T+1)) bit-for-bit
+    # in overflow frames too. Exactness: 0/1 bf16 operands, f32 integer
+    # accumulation < 2^24.
+    c_keep = jnp.clip(jnp.float32(capacity) - cum_ex, 0.0, count_d)
+    spanw_safe = jnp.maximum(spanw_d, 1.0)
+    full_rows = jnp.floor(c_keep / spanw_safe)        # exact int ratio
+    part_w = c_keep - full_rows * spanw_d             # leading columns
+    ty_i = jnp.arange(cfg.tiles_y, dtype=jnp.float32)[:, None]
+    tx_i = jnp.arange(cfg.tiles_x, dtype=jnp.float32)[None, :]
+    u_full = ((ty_i >= y0_d[None, :])
+              & (ty_i < (y0_d + full_rows)[None, :])).astype(jnp.bfloat16)
+    v_x = ((tx_i >= x0_d[:, None])
+           & (tx_i < (x0_d + spanw_d)[:, None])).astype(jnp.bfloat16)
+    w_part = (ty_i == (y0_d + full_rows)[None, :]).astype(jnp.bfloat16)
+    v_p = ((tx_i >= x0_d[:, None])
+           & (tx_i < (x0_d + part_w)[:, None])).astype(jnp.bfloat16)
+    counts2d = jax.lax.dot_general(
+        u_full, v_x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        w_part, v_p, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                 # (TY, TX) exact
+    bounds = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(counts2d.reshape(-1).astype(jnp.int32)),
+    ])
     starts = bounds[:-1]
     ends = bounds[1:]
 

@@ -66,6 +66,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from splatjax.ops.binning import FEAT_DIM, TileConfig  # noqa: F401
+from splatjax.ops.projection import FRUSTUM_GUARD, SIZE_CULL_THRESHOLD
 
 Array = jax.Array
 
@@ -583,6 +584,16 @@ def _chunk_alpha(chunk, basis6, ox, oy, kidx, start, end, alpha_clip,
              against :func:`_log_clip`; None when alpha_clip is None).
     """
     rows = unpack_chunk16(chunk) if packed16 else unpack_chunk(chunk)
+    return _rows_alpha(rows, basis6, ox, oy, kidx, start, end,
+                       alpha_clip, zb, packed16)
+
+
+def _rows_alpha(rows, basis6, ox, oy, kidx, start, end, alpha_clip,
+                zb=None, packed16=False):
+    """:func:`_chunk_alpha`'s fragment math on an already-unpacked rows
+    tuple [mx, my, ca, cb, cc, r, g, b, opa, depth] of (1, CHUNK) f32 —
+    shared with the fused cached-viewer kernel, whose rows come from
+    in-kernel projection instead of a packed table."""
     mxl = rows[0] - ox                     # (1, CHUNK) tile-local mean
     myl = rows[1] - oy
     ca, cb, cc = rows[2], rows[3], rows[4]
@@ -950,6 +961,371 @@ def rasterize_cm_fwd(
         out_shape=jax.ShapeDtypeStruct((t_tiles, 8, p), jnp.float32),
         interpret=_use_interpret(),
     )(starts, ends, *inputs)
+    return out, out[:, 4, 0].astype(jnp.int32)
+
+
+# ---- fused cached-viewer forward: projection INSIDE the kernel ---------
+#
+# The stale-order redraw (render.bin_scene(cache_params=True) +
+# render_binned) re-projects every duplicated instance each frame. Doing
+# that as an XLA pass costs ~4 ms of elementwise math on 3M instances plus
+# ~1.5 ms packing/relayout into the 16-byte rows the kernel streams — all
+# of it per-INSTANCE row work the kernel itself can do on (1, CHUNK) rows
+# for ~1/P-th of a (P, CHUNK) pass (i.e. essentially free against its own
+# transcendental floor). This kernel streams the CAMERA-INDEPENDENT
+# per-instance parameters (mean / cov6 / rgb / opacity / max_scale —
+# gathered once per resort) and runs the reference's vertex-shader EWA +
+# worker culls (index.js:101-164, 507-554; the same math as
+# ops/projection.project_gaussians, elementwise f32) per chunk before the
+# shared fragment path (_rows_alpha). No per-frame gather, no per-frame
+# pack, full-f32 projection (no 16-byte row quantization).
+
+CACHED_ROWS = 16   # mean xyz, cov6 (xx xy xz yy yz zz), rgb, opa, max_scale
+GSUB = 8           # chunks projected together: (GSUB, CHUNK) = full vregs
+GROUP = GSUB * CHUNK
+NRING_G = 6        # group ring slots (6 x 64 KB VMEM)
+LOOKAHEAD_G = NRING_G - 2
+
+
+def group_major_rows(feat_km: Array) -> Array:
+    """(K, CACHED_ROWS) f32 rows -> (n_groups, CACHED_ROWS, GSUB, CHUNK)
+    group-major layout: one group = GSUB chunks, so each parameter row of
+    a group is a contiguous (GSUB, CHUNK) block — FULL (8, 128) vregs for
+    the in-kernel projection (per-(1, CHUNK) row math wastes 7/8 sublanes
+    and measured ~5 ms/frame at 30k chunks). One slack group is appended
+    for the ring's clamped lookahead DMAs."""
+    k, n_rows = feat_km.shape
+    k_pad = -(-k // GROUP) * GROUP + GROUP
+    padded = jnp.pad(feat_km, ((0, k_pad - k), (0, 0)))
+    return padded.reshape(
+        k_pad // GROUP, GSUB, CHUNK, n_rows
+    ).transpose(0, 3, 1, 2)
+
+
+def pack_cached_rows(means, cov6, colors, opacities, max_scales) -> Array:
+    """Per-instance camera-independent parameters -> (K, CACHED_ROWS) f32
+    rows for :func:`rasterize_cached_fwd` (chunk-major via
+    :func:`chunk_major_rows`)."""
+    k = means.shape[0]
+    return jnp.concatenate(
+        [
+            jnp.asarray(means, jnp.float32),
+            jnp.asarray(cov6, jnp.float32),
+            jnp.asarray(colors, jnp.float32),
+            jnp.asarray(opacities, jnp.float32)[:, None],
+            jnp.asarray(max_scales, jnp.float32)[:, None],
+            jnp.zeros((k, CACHED_ROWS - 14), jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
+def make_camera_table(modelview, projection) -> Array:
+    """(8, 128) f32 camera scalar block for the fused kernel: modelview in
+    [0:4, 0:4], projection in [4:8, 0:4] (lane-padded to the VMEM tile)."""
+    tbl = jnp.zeros((8, 128), jnp.float32)
+    tbl = tbl.at[0:4, 0:4].set(jnp.asarray(modelview, jnp.float32))
+    return tbl.at[4:8, 0:4].set(jnp.asarray(projection, jnp.float32))
+
+
+def _project_rows(prm, cam, *, width: int, height: int):
+    """In-kernel EWA projection of one GROUP of cached parameter rows.
+
+    prm: (CACHED_ROWS, GSUB, CHUNK) f32 — one group-major block, so every
+    elementwise op below runs on full (8, 128) vregs; cam: (8, 128)
+    camera table. Returns (10, GSUB, CHUNK) stacked `_rows_alpha` rows
+    [mx, my, ca, cb, cc, r, g, b, opa, depth] — the exact math of
+    ops/projection._project_f32 (vertex shader index.js:101-164 + worker
+    culls index.js:507-554), with every cull folded into the opacity row
+    (masked -> 0, which _rows_alpha maps to log(1e-30))."""
+    mv = [[cam[i, j] for j in range(4)] for i in range(4)]
+    pr = [[cam[4 + i, j] for j in range(4)] for i in range(4)]
+    mex, mey, mez = prm[0], prm[1], prm[2]
+    sxx, sxy, sxz = prm[3], prm[4], prm[5]
+    syy, syz, szz = prm[6], prm[7], prm[8]
+    opa = prm[12]
+    max_scale = prm[13]
+
+    def xform(m, vx, vy, vz):
+        return [
+            m[i][0] * vx + m[i][1] * vy + m[i][2] * vz + m[i][3]
+            for i in range(4)
+        ]
+
+    cx, cy, cz, _ = xform(mv, mex, mey, mez)
+    px_c, py_c, pz_c, w_clip = xform(pr, cx, cy, cz)
+
+    bounds = FRUSTUM_GUARD * w_clip
+    in_frustum = (
+        (pz_c >= -w_clip)
+        & (px_c >= -bounds) & (px_c <= bounds)
+        & (py_c >= -bounds) & (py_c <= bounds)
+    )                                       # index.js:110-115
+    # worker cull (index.js:548): in front + size*opacity > 1e-4*(-z)
+    keep = in_frustum & (cz < 0.0) & (
+        max_scale * opa > SIZE_CULL_THRESHOLD * (-cz)
+    )
+
+    focal = (height / 2.0) * jnp.abs(pr[1][1])   # index.js:191
+    safe_z = jnp.where(jnp.abs(cz) < 1e-8, 1e-8, cz)
+    fz = focal / safe_z
+    fz2 = focal / (safe_z * safe_z)
+    # T = W J collapsed to two row vectors (ops/projection.py t0/t1)
+    t0 = [fz * mv[0][j] - (cx * fz2) * mv[2][j] for j in range(3)]
+    t1 = [-fz * mv[1][j] + (cy * fz2) * mv[2][j] for j in range(3)]
+    u0 = [
+        sxx * t0[0] + sxy * t0[1] + sxz * t0[2],
+        sxy * t0[0] + syy * t0[1] + syz * t0[2],
+        sxz * t0[0] + syz * t0[1] + szz * t0[2],
+    ]
+    u1 = [
+        sxx * t1[0] + sxy * t1[1] + sxz * t1[2],
+        sxy * t1[0] + syy * t1[1] + syz * t1[2],
+        sxz * t1[0] + syz * t1[1] + szz * t1[2],
+    ]
+    a = t0[0] * u0[0] + t0[1] * u0[1] + t0[2] * u0[2] + 0.3
+    b = t1[0] * u0[0] + t1[1] * u0[1] + t1[2] * u0[2]
+    c = t1[0] * u1[0] + t1[1] * u1[1] + t1[2] * u1[2] + 0.3
+
+    mid = 0.5 * (a + c)
+    r2 = jnp.square(0.5 * (a - c)) + jnp.square(b)
+    radius = jnp.sqrt(jnp.maximum(r2, 0.0))
+    lam1 = mid + radius
+    lam2 = jnp.maximum(mid - radius, 0.1)       # index.js:146
+    vx, vy = b, lam1 - a
+    v2 = vx * vx + vy * vy
+    ok = v2 > 1e-24
+    vnorm = jnp.sqrt(jnp.where(ok, v2, 1.0))
+    dvx = jnp.where(ok, vx / vnorm, 1.0)
+    dvy = jnp.where(ok, vy / vnorm, 0.0)
+    len1 = jnp.minimum(jnp.sqrt(2.0 * lam1), 1024.0)   # index.js:148-149
+    len2 = jnp.minimum(jnp.sqrt(2.0 * jnp.maximum(lam2, 0.0)), 1024.0)
+    lam1_eff = jnp.maximum(0.5 * len1 * len1, 1e-8)
+    lam2_eff = jnp.maximum(0.5 * len2 * len2, 1e-8)
+    inv1 = 1.0 / lam1_eff
+    inv2 = 1.0 / lam2_eff
+    conic_a = inv1 * dvx * dvx + inv2 * dvy * dvy
+    conic_b = (inv1 - inv2) * dvx * dvy
+    conic_c = inv1 * dvy * dvy + inv2 * dvx * dvx
+
+    safe_w = jnp.where(jnp.abs(w_clip) < 1e-8, 1e-8, w_clip)
+    mx = (px_c / safe_w + 1.0) * (width / 2.0)
+    my = (py_c / safe_w + 1.0) * (height / 2.0)
+
+    opa_m = jnp.where(keep, opa, 0.0)
+    return jnp.stack(
+        [mx, my, conic_a, conic_b, conic_c,
+         prm[9], prm[10], prm[11], opa_m, cz],
+        axis=0,
+    )                                       # (10, GSUB, CHUNK)
+
+
+def _cached_fwd_kernel(
+    # scalar prefetch
+    starts_ref, ends_ref,
+    # inputs
+    prm_hbm, cam_ref,
+    # outputs + scratch
+    out_ref, ring, proj_vmem, cur, sems,
+    *, cfg: TileConfig, alpha_clip, early_stop, n_gblocks: int,
+):
+    """:func:`_fwd_kernel` with the 16-byte-row decode replaced by
+    in-kernel projection of cached f32 parameter rows: the ring streams
+    GROUP-major blocks (GSUB chunks), each group is projected ONCE on
+    full (GSUB, CHUNK) vregs into a persistent scratch (cur[2] tracks
+    the projected group across the sequential grid, so boundary groups
+    shared by adjacent tiles are not re-projected), and the chunk loop
+    slices (1, CHUNK) rows out of it for the shared fragment path."""
+    t = pl.program_id(0)
+    p = cfg.pixels_per_tile
+    start = starts_ref[t]
+    end = ends_ref[t]
+    astart = (start // CHUNK) * CHUNK
+    n_chunks = pl.cdiv(end - astart, CHUNK)
+    px, py = _pixel_grids(cfg, t)
+    ox = (t % cfg.tiles_x).astype(jnp.float32) * cfg.tile_w
+    oy = (t // cfg.tiles_x).astype(jnp.float32) * cfg.tile_h
+    if _basis_is_bf16_exact(cfg):
+        ox = ox + 0.5 * cfg.tile_w
+        oy = oy + 0.5 * cfg.tile_h
+    basis6 = _make_basis(px, py, ox, oy, cfg, fast=True)
+    cam = cam_ref[0]
+
+    def group_copy(gi):
+        src = jnp.minimum(gi, n_gblocks - 1)
+        return pltpu.make_async_copy(
+            prm_hbm.at[src], ring.at[gi % NRING_G], sems.at[gi % NRING_G],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        cur[0] = 0
+        cur[1] = 0
+        cur[2] = -1
+
+    def enter_group(g):
+        # identical ring-advance protocol to _fwd_kernel (see its note),
+        # at group granularity
+        waited = cur[0]
+        fetched = cur[1]
+        retire_to = jnp.minimum(g + 1, fetched)
+
+        def w(gi, _):
+            group_copy(gi).wait()
+            return 0
+
+        jax.lax.fori_loop(waited, retire_to, w, 0)
+        waited = jnp.maximum(waited, retire_to)
+        fetched = jnp.maximum(fetched, g)
+        waited = jnp.maximum(waited, g)
+
+        def s(gi, _):
+            group_copy(gi).start()
+            return 0
+
+        jax.lax.fori_loop(fetched, g + LOOKAHEAD_G, s, 0)
+        fetched = jnp.maximum(fetched, g + LOOKAHEAD_G)
+
+        @pl.when(waited == g)
+        def _():
+            group_copy(g).wait()
+
+        cur[0] = jnp.maximum(waited, g + 1)
+        cur[1] = fetched
+
+    tri_pre = _tri_mask(CHUNK, suffix=False, strict=True)
+
+    def body(state):
+        c, lt_vec, acc = state
+        ci = astart // CHUNK + c
+        g = ci // GSUB
+
+        @pl.when(g >= cur[0])
+        def _():
+            enter_group(g)
+
+        @pl.when(cur[2] != g)
+        def _():
+            proj_vmem[...] = _project_rows(
+                ring[g % NRING_G], cam, width=cfg.width, height=cfg.height
+            )
+            cur[2] = g
+
+        sub = ci % GSUB
+        block = proj_vmem[:, pl.ds(sub, 1), :]      # (10, 1, CHUNK)
+        rows = tuple(block[r] for r in range(10))
+        kidx = _lane_iota(CHUNK) + ci * CHUNK
+        alpha, rows, _, p_eff, _ = _rows_alpha(
+            rows, basis6, ox, oy, kidx, start, end, alpha_clip,
+            packed16=True,
+        )
+        s = _log_om(alpha, alpha_clip)
+        s_excl = _tri_cumsum(s, tri_pre, fast=True)
+        w = jnp.exp(s_excl + p_eff)
+        colmat = jnp.concatenate(
+            [rows[5], rows[6], rows[7], rows[9]], axis=0
+        )
+        contrib = jax.lax.dot_general(
+            w.astype(jnp.bfloat16), colmat.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + jnp.exp(lt_vec) * contrib
+        lt_vec = lt_vec + (
+            s_excl[:, CHUNK - 1:CHUNK] + s[:, CHUNK - 1:CHUNK]
+        )
+        return c + 1, lt_vec, acc
+
+    log_eps = float(np.log(early_stop)) if early_stop > 0.0 else -np.inf
+
+    def cond(state):
+        c, lt_vec = state[0], state[1]
+        return jnp.logical_and(c < n_chunks, jnp.max(lt_vec) > log_eps)
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((p, 1), jnp.float32),
+        jnp.zeros((p, 4), jnp.float32),
+    )
+    c_done, lt_vec, acc = jax.lax.while_loop(cond, body, init)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        def w(gi, _):
+            group_copy(gi).wait()
+            return 0
+
+        jax.lax.fori_loop(cur[0], cur[1], w, 0)
+
+    cols6 = jnp.concatenate(
+        [
+            acc[:, 0:3],
+            jnp.exp(lt_vec),
+            acc[:, 3:4],
+            lt_vec,
+        ],
+        axis=1,
+    )
+    rows6 = _flip_to_rows(cols6)
+    out_ref[0, 0:4, :] = rows6[0:4]
+    out_ref[0, 4:5, :] = jnp.full((1, p), 0.0, jnp.float32) + c_done.astype(
+        jnp.float32
+    )
+    out_ref[0, 5:6, :] = rows6[4:5]
+    out_ref[0, 6:7, :] = rows6[5:6]
+    out_ref[0, 7:8, :] = jnp.zeros((1, p), jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "alpha_clip", "early_stop"),
+)
+def rasterize_cached_fwd(
+    prm_gm: Array,
+    cam_tbl: Array,
+    starts: Array,
+    ends: Array,
+    cfg: TileConfig,
+    alpha_clip: Optional[float] = None,
+    early_stop: float = 1e-4,
+):
+    """Fused cached-viewer forward: project + rasterize in ONE kernel.
+
+    prm_gm: (n_groups, CACHED_ROWS, GSUB, CHUNK) f32 group-major cached
+    parameter rows (:func:`pack_cached_rows` + :func:`group_major_rows`,
+    built once per resort); cam_tbl: :func:`make_camera_table` of the
+    CURRENT frame's matrices. Returns (out_tiles (T, 8, P), chunks_done).
+    """
+    t_tiles = cfg.num_tiles
+    p = cfg.pixels_per_tile
+    n_gblocks = prm_gm.shape[0]
+    kernel = functools.partial(
+        _cached_fwd_kernel, cfg=cfg, alpha_clip=alpha_clip,
+        early_stop=early_stop, n_gblocks=n_gblocks,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((1, 8, 128), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, p), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NRING_G, CACHED_ROWS, GSUB, CHUNK), jnp.float32),
+            pltpu.VMEM((10, GSUB, CHUNK), jnp.float32),
+            pltpu.SMEM((3,), jnp.int32),
+            pltpu.SemaphoreType.DMA((NRING_G,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_tiles, 8, p), jnp.float32),
+        interpret=_use_interpret(),
+    )(starts, ends, prm_gm, cam_tbl[None])
     return out, out[:, 4, 0].astype(jnp.int32)
 
 

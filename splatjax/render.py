@@ -457,7 +457,7 @@ def render_binned(
             None if background is None
             else jnp.asarray(background, jnp.float32),
             None if zbuf is None else jnp.asarray(zbuf, jnp.float32),
-            bins.bins,
+            bins.bins, bins.prm_cm,
             width=camera.width, height=camera.height, tile_size=tile_size,
             alpha_clip=resolve_alpha_clip(alpha_clip, viewer_exact),
             early_stop=early_stop, viewer_exact=viewer_exact,
@@ -657,9 +657,11 @@ class CachedBins(tuple):
 
     __slots__ = ()
 
-    def __new__(cls, bins, means, cov6, colors, opacities, max_scales, sh):
+    def __new__(cls, bins, means, cov6, colors, opacities, max_scales, sh,
+                prm_cm=None):
         return super().__new__(
-            cls, (bins, means, cov6, colors, opacities, max_scales, sh)
+            cls,
+            (bins, means, cov6, colors, opacities, max_scales, sh, prm_cm),
         )
 
     bins = property(lambda self: self[0])
@@ -669,11 +671,20 @@ class CachedBins(tuple):
     opacities = property(lambda self: self[4])
     max_scales = property(lambda self: self[5])
     sh = property(lambda self: self[6])
+    # chunk-major f32 parameter rows for the FUSED redraw kernel
+    # (ops/rasterize.rasterize_cached_fwd): projection happens INSIDE the
+    # rasterize kernel, so a redraw is one kernel + assembly — no
+    # per-frame gather, pack, or XLA projection pass.
+    prm_cm = property(lambda self: self[7])
 
 
 @functools.partial(jax.jit, static_argnames=("viewer_exact",))
 def _gather_param_cache(means, scales, quats, colors, opacities, sh, gid,
                         *, viewer_exact: bool):
+    from splatjax.ops.rasterize import (
+        group_major_rows, pack_cached_rows,
+    )
+
     cov3d = build_covariances(quats, scales)
     if viewer_exact:
         q, qs = quantize_covariances_int16(covariance_upper(cov3d))
@@ -681,9 +692,17 @@ def _gather_param_cache(means, scales, quats, colors, opacities, sh, gid,
     else:
         cov6 = covariance_upper(cov3d)
     max_scales = jnp.max(scales, axis=-1)
-    return (
+    means_i, cov6_i, colors_i, opa_i, maxs_i = (
         means[gid], cov6[gid], colors[gid], opacities[gid],
-        max_scales[gid], None if sh is None else sh[gid],
+        max_scales[gid],
+    )
+    # group-major rows for the fused redraw kernel (built once per resort)
+    prm_cm = group_major_rows(
+        pack_cached_rows(means_i, cov6_i, colors_i, opa_i, maxs_i)
+    )
+    return (
+        means_i, cov6_i, colors_i, opa_i, maxs_i,
+        None if sh is None else sh[gid], prm_cm,
     )
 
 
@@ -696,6 +715,7 @@ def _gather_param_cache(means, scales, quats, colors, opacities, sh, gid,
 def _render_binned_cached_impl(
     means_i, cov6_i, colors_i, opa_i, maxs_i, sh_i,
     modelview, projection, cutout, background, zbuf, bins,
+    prm_cm=None,
     *, width: int, height: int, tile_size: int,
     alpha_clip: Optional[float], early_stop: float, viewer_exact: bool,
     return_depth: bool, feature_bytes: int = 32,
@@ -703,10 +723,33 @@ def _render_binned_cached_impl(
     from splatjax.ops.binning import features_from_projection as ffp
     from splatjax.ops.rasterize import (
         chunk_major_rows,
+        make_camera_table,
         pack_feature_table,
         pack_feature_table16,
+        rasterize_cached_fwd,
         rasterize_cm_fwd,
     )
+
+    if (
+        prm_cm is not None and feature_bytes == 16 and sh_i is None
+        and cutout is None and zbuf is None and not viewer_exact
+        and not return_depth
+    ):
+        # FUSED redraw: projection runs inside the rasterize kernel on
+        # the cached group-major rows — one kernel + assembly per frame.
+        # Taken only in the 16-byte SPEED mode: it keeps the fast
+        # fragment math but projects in full f32 (no 16-byte row
+        # quantization), so it is strictly MORE precise than the packed
+        # path it replaces (measured 3e-3 vs the exact render where the
+        # packed path sits at 2e-2); feature_bytes=32 keeps the exact
+        # 3-pass gather path for parity-mode redraws.
+        cfg = TileConfig(width, height, tile_size, tile_size)
+        out_tiles, _ = rasterize_cached_fwd(
+            prm_cm, make_camera_table(modelview, projection),
+            bins.starts, bins.ends, cfg,
+            alpha_clip=alpha_clip, early_stop=early_stop,
+        )
+        return tiles_to_image(out_tiles, cfg, background), None
 
     proj = project_gaussians(
         means_i, cov6_to_mat(cov6_i), colors_i, opa_i,

@@ -95,10 +95,26 @@ def test_cached_param_bins_match_gather_path():
     plain = bin_scene(scene, cam)
     cached = bin_scene(scene, cam, cache_params=True)
     assert isinstance(cached, CachedBins)
-    for fb in (32, 16):
-        a = np.asarray(render_binned(scene, cam, plain, feature_bytes=fb))
-        b = np.asarray(render_binned(scene, cam, cached, feature_bytes=fb))
-        np.testing.assert_allclose(b, a, atol=1e-6)
+    # 32-byte parity mode: the cached path re-projects the pre-gathered
+    # params through the SAME exact pipeline — bit-for-bit-close
+    a32 = np.asarray(render_binned(scene, cam, plain, feature_bytes=32))
+    b32 = np.asarray(render_binned(scene, cam, cached, feature_bytes=32))
+    np.testing.assert_allclose(b32, a32, atol=1e-6)
+    # 16-byte speed mode: the cached path runs the FUSED kernel
+    # (projection inside the rasterizer, full-f32 — no 16-byte row
+    # quantization), so it is NOT bitwise vs the packed gather path; it
+    # must instead sit at least as close to the exact render as the
+    # packed path does (its documented quality improvement)
+    a16 = np.asarray(render_binned(scene, cam, plain, feature_bytes=16))
+    b16 = np.asarray(render_binned(scene, cam, cached, feature_bytes=16))
+
+    def psnr_vs(x):
+        mse = float(np.mean((x - a32) ** 2))
+        return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+    assert psnr_vs(b16) >= psnr_vs(a16) - 0.5, (psnr_vs(b16), psnr_vs(a16))
+    assert psnr_vs(b16) >= 40.0
+    np.testing.assert_allclose(b16, a32, atol=2e-2)
     # small camera motion: both paths shade fresh against stale bins
     cam2 = make_camera((0.12, -0.1, 2.4), (0, 0, 0), width=96, height=64)
     a = np.asarray(render_binned(scene, cam2, plain))

@@ -441,3 +441,28 @@ def test_deep_stack_front_gradient_survives():
     # the FRONT splat (instance 0) is fully visible: its color gradient
     # is the pixel count times alpha*T_1 ~ 0.999 per covered pixel
     assert abs(g[5, 0]) > 100.0, g[5, 0]
+
+
+def test_binning_bounds_match_searchsorted_under_overflow():
+    """The per-tile bounds come from a truncation-aware separable
+    rectangle histogram (two one-hot MXU contractions + cumsum) instead
+    of a searchsorted over the K_cap array. They must equal the
+    searchsorted result BIT-FOR-BIT — including when capacity truncates
+    the expansion mid-gaussian (the kept depth-major prefix covers full
+    tile rows plus a partial leading row)."""
+    scene, cam = _scene_cam(seed=33)
+    cov3d = build_covariances(scene.quats, scene.scales)
+    proj = project_gaussians(
+        scene.means, cov3d, scene.colors, scene.opacities,
+        cam.modelview, cam.projection, W, H,
+        max_scales=jnp.max(jnp.asarray(scene.scales), axis=-1),
+    )
+    cfg = TileConfig(W, H)
+    for capacity in (4096, 1024, 512, 384):   # 3 of these overflow
+        b = bin_gaussians(proj, cfg, capacity=capacity)
+        tile_sorted = np.asarray(b.tile_id)
+        want = np.searchsorted(
+            tile_sorted, np.arange(cfg.num_tiles + 1), side="left"
+        )
+        np.testing.assert_array_equal(np.asarray(b.starts), want[:-1])
+        np.testing.assert_array_equal(np.asarray(b.ends), want[1:])
