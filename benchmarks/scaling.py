@@ -68,22 +68,33 @@ def _cpu_part(args) -> dict:
     from splatjax.scene import build_covariances
 
     w, h = (int(v) for v in args.res.split("x"))
+    bw, bh = (int(v) for v in args.balance_res.split("x"))
     d = args.devices
     # band balance on the TRAINED fixture (real 3DGS statistics), over
     # several camera poses — one synthetic view under-represents how
-    # unevenly real scenes load the bands (round-3 verdict item 9)
+    # unevenly real scenes load the bands (round-3 verdict item 9).
+    # Balance is measured at the BENCH frame's own size (1M @ 1080p = 68
+    # tile rows by default): the efficiency model multiplies the measured
+    # 1080p frame time by this deviation, and measuring it on a small
+    # image instead is row-granularity-dominated (at 512 px a 16-band
+    # split has 2-row bands and a single hot row caps the achievable
+    # balance — a real artifact of 512 px, not of the 1080p deployment).
+    # The parity/overflow render below stays at --res/--n (rendering 1M @
+    # 1080p on the virtual CPU mesh is impractically slow; balance needs
+    # only projection + spans).
     try:
         from splatjax.io import load_splat, tile_scene
 
-        scene = tile_scene(
-            load_splat(os.path.join(
-                ROOT, "tests", "fixtures", "trained_scene.splat")),
-            args.n,
-        )
+        base = load_splat(os.path.join(
+            ROOT, "tests", "fixtures", "trained_scene.splat"))
+        scene = tile_scene(base, args.n)
+        bscene = tile_scene(base, args.balance_n)
         scene_src = "trained fixture"
     except Exception:
         scene = synthetic_scene(args.n, seed=7, extent=1.0,
                                 scale_range=(0.002, 0.01))
+        bscene = synthetic_scene(args.balance_n, seed=7, extent=1.0,
+                                 scale_range=(0.002, 0.01))
         scene_src = "synthetic (fixture unavailable)"
     poses = [
         ((0, 0, 2.8), (0, 0, 0)),
@@ -91,10 +102,10 @@ def _cpu_part(args) -> dict:
         ((-0.5, -0.4, 2.2), (0, 0.1, 0)),
     ]
     mesh = make_mesh(d)
-    cfg = TileConfig(w, h, 16, 16)
+    cfg_b = TileConfig(bw, bh, 16, 16)
 
     def equal_bounds(n_bands):
-        rows_per_band = padded_band_height(h, n_bands, 16) // 16
+        rows_per_band = padded_band_height(bh, n_bands, 16) // 16
         return np.arange(n_bands + 1) * rows_per_band
 
     def balanced_bounds(y0, y1, x0, x1, count, n_bands):
@@ -102,7 +113,7 @@ def _cpu_part(args) -> dict:
         instance load (x-tile-count weighted), cumulative split at k/D of
         the total, monotone clamp into the [1 row, 2x-equal-share]
         corridor."""
-        n_rows = -(-h // 16)
+        n_rows = -(-bh // 16)
         max_rows = min(n_rows, 4 * (-(-n_rows // n_bands)))
         min_rows = 1 if n_rows >= n_bands else 0
         wgt = (x1 - x0 + 1) * (count > 0)
@@ -140,15 +151,16 @@ def _cpu_part(args) -> dict:
     per_pose_eq, per_pose2_eq = [], []
     band_counts = None
     for eye, target in poses:
-        cam = make_camera(eye, target, width=w, height=h)
+        cam = make_camera(eye, target, width=bw, height=bh)
         proj = project_gaussians(
-            scene.means, build_covariances(scene.quats, scene.scales),
-            scene.colors, scene.opacities, cam.modelview, cam.projection,
-            w, h,
-            max_scales=jnp.max(jnp.asarray(scene.scales), axis=-1),
+            bscene.means,
+            build_covariances(bscene.quats, bscene.scales),
+            bscene.colors, bscene.opacities,
+            cam.modelview, cam.projection, bw, bh,
+            max_scales=jnp.max(jnp.asarray(bscene.scales), axis=-1),
         )
         x0, x1, y0, y1, count = (np.asarray(v) for v in
-                                 gaussian_tile_span(proj, cfg))
+                                 gaussian_tile_span(proj, cfg_b))
         span = (y0, y1, x0, x1, count)
         counts, bal = band_split(
             *span, balanced_bounds(*span, d))
@@ -177,6 +189,8 @@ def _cpu_part(args) -> dict:
     parity_pixels = int((diff.max(-1) > 1e-3).sum())
     return {
         "band_scene": scene_src,
+        "band_balance_res": args.balance_res,
+        "band_balance_n": args.balance_n,
         "band_instances": band_counts,
         # LOAD-BALANCED boundaries (the render path's default since round
         # 5); the *_equalheight fields keep the round-4 fixed-band number
@@ -257,6 +271,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=200_000)
     ap.add_argument("--res", default="512x512")
+    ap.add_argument("--balance-res", default="1920x1080",
+                    help="resolution the band-balance model is measured "
+                         "at (the bench frame's, since frame_ms refers "
+                         "to it)")
+    ap.add_argument("--balance-n", type=int, default=1_000_000)
     ap.add_argument("--devices", type=int,
                     default=int(os.environ.get("SPLATJAX_SCALING_DEVS", "8")))
     ap.add_argument("--frame-ms", type=float, default=0.0,

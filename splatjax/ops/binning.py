@@ -206,8 +206,12 @@ def segment_sum_by_gid_packed_bf16(
     k = gid.shape[0]
     n = cum.shape[0]
     eff_cum = _effective_cum(cum, count, perm, cum_d, count_d, overflow, k)
+    # unstable 2-key sort == stable 1-key + iota payload EXACTLY (the
+    # iota makes every (gid, iota) pair unique and ascending within ties),
+    # but skips the hidden stability iota XLA adds — one fewer 3M-row
+    # operand through every bitonic pass (measured ~2 ms standalone)
     _, order = jax.lax.sort(
-        (gid, jnp.arange(k, dtype=jnp.int32)), is_stable=True, num_keys=1
+        (gid, jnp.arange(k, dtype=jnp.int32)), is_stable=False, num_keys=2
     )
     # pad the gather INDICES, not the rows (pad rows repeat row 0; runs
     # end at eff_cum[-1] <= k so pads never enter any run)
@@ -240,8 +244,12 @@ def segment_sum_by_gid(
     eff_cum = _effective_cum(cum, count, perm, cum_d, count_d, overflow, k)
 
     gt = g.T                                             # (K, C)
+    # unstable 2-key sort == stable 1-key + iota payload EXACTLY (the
+    # iota makes every (gid, iota) pair unique and ascending within ties),
+    # but skips the hidden stability iota XLA adds — one fewer 3M-row
+    # operand through every bitonic pass (measured ~2 ms standalone)
     _, order = jax.lax.sort(
-        (gid, jnp.arange(k, dtype=jnp.int32)), is_stable=True, num_keys=1
+        (gid, jnp.arange(k, dtype=jnp.int32)), is_stable=False, num_keys=2
     )
     mode = _grad_gather_mode()
     if mode == "i16" and c == 16:
@@ -443,9 +451,13 @@ def bin_gaussians(
     has_inst = count > 0
     dkey = jnp.where(has_inst, -proj.depth.astype(jnp.float32), jnp.inf)
     packed_xys = (x0 << 16) | (y0 << 8) | span_w
+    # unstable 2-key == stable 1-key + iota payload EXACTLY (the iota
+    # makes every (dkey, iota) pair unique, breaking +-inf and equal-f32
+    # ties identically) while skipping the hidden stability iota — one
+    # fewer N-row operand through every sort pass
     _, perm, pxys_d, count_d_i = jax.lax.sort(
         (dkey, jnp.arange(n, dtype=jnp.int32), packed_xys, count),
-        is_stable=True, num_keys=1,
+        is_stable=False, num_keys=2,
     )
     n_vis = jnp.sum(has_inst.astype(jnp.int32))
 
