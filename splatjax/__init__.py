@@ -10,6 +10,8 @@ from splatjax.scene import (
     GaussianScene,
     TrainableGaussians,
     build_covariances,
+    importance,
+    select_important,
 )
 from splatjax.camera import Camera, make_camera, perspective, look_at
 from splatjax.render import (
@@ -28,6 +30,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "GaussianScene",
+    "importance",
+    "select_important",
     "TrainableGaussians",
     "build_covariances",
     "Camera",

@@ -194,3 +194,45 @@ def cov6_to_mat(cov6: Array) -> Array:
     row1 = jnp.stack([s12, s22, s23], axis=-1)
     row2 = jnp.stack([s13, s23, s33], axis=-1)
     return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def importance(scene: GaussianScene) -> Array:
+    """Per-gaussian importance = volume x opacity — EXACTLY the metric
+    the reference sorts by before truncating at its texture capacity
+    (processPlyBuffer: exp(s0)exp(s1)exp(s2) * sigmoid(opacity),
+    index.js:653-669; our scales/opacities are already activated, so the
+    product is scales.prod() * opacity)."""
+    s = jnp.asarray(scene.scales, jnp.float32)
+    return (
+        s[:, 0] * s[:, 1] * s[:, 2]
+        * jnp.asarray(scene.opacities, jnp.float32)
+    )
+
+
+def select_important(scene: GaussianScene, fraction: float) -> GaussianScene:
+    """Level-of-detail subset: keep the top ``fraction`` of gaussians by
+    :func:`importance`, importance-descending — the reference's own
+    quality knob (it keeps the most important splats when an asset
+    exceeds capacity, index.js:329-335 + the importance sort at
+    653-669). The measured speed model (docs/PERF.md roofline): every
+    K-proportional stage (gathers, sorts, kernels) scales ~linearly with
+    the duplicated-instance count, so ``fraction=0.25`` is the honest
+    route to ~60 fps exact-forward at 1M@1080p on one v5e.
+    """
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    n = scene.num_gaussians
+    k = max(int(round(n * fraction)), 1)
+    order = jnp.argsort(-importance(scene))[:k]
+
+    def take(a):
+        return None if a is None else jnp.asarray(a)[order]
+
+    return GaussianScene(
+        means=take(scene.means),
+        scales=take(scene.scales),
+        quats=take(scene.quats),
+        colors=take(scene.colors),
+        opacities=take(scene.opacities),
+        sh=take(scene.sh),
+    )

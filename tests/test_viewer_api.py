@@ -211,3 +211,37 @@ def test_render_stereo_pair():
     mse = float(np.mean((np.asarray(sr) - np.asarray(ir)) ** 2))
     psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr >= 30.0, psnr
+
+
+def test_select_important_lod():
+    """The LOD knob mirrors the reference's importance truncation
+    (volume x opacity sort, index.js:653-669 + capacity keep at
+    329-335): the kept subset is the top-importance fraction, renders a
+    close approximation of the full scene, and scales down the
+    duplicated-instance count (the measured fps lever)."""
+    from splatjax import importance, select_important
+    from splatjax.render import bin_scene, render
+
+    scene = synthetic_scene(400, seed=91, extent=0.6,
+                            scale_range=(0.01, 0.09))
+    cam = make_camera((0, 0, 2.3), (0, 0, 0), width=96, height=64)
+    half = select_important(scene, 0.5)
+    assert half.num_gaussians == 200
+    imp = np.asarray(importance(scene))
+    kept_min = np.asarray(importance(half)).min()
+    # every kept gaussian is at least as important as every dropped one
+    assert kept_min >= np.sort(imp)[199] - 1e-12
+    # instances drop (big-splat subsets keep more than half, but less
+    # than the full count)
+    k_full = int(bin_scene(scene, cam, capacity=1024).num_instances)
+    k_half = int(bin_scene(half, cam, capacity=1024).num_instances)
+    assert k_half < k_full
+    # the top-importance half carries most of the image energy
+    full = np.asarray(render(scene, cam))
+    part = np.asarray(render(half, cam))
+    assert np.mean(np.abs(full - part)) < 0.2 * max(np.mean(full), 1e-6)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        select_important(scene, 0.0)
