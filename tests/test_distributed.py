@@ -468,17 +468,17 @@ def test_band_train_trained_fixture_no_drops():
         os.path.join(os.path.dirname(__file__), "fixtures",
                      "trained_scene.splat")
     )
-    n = 40_960
+    n = 16_384
     scene = tile_scene(base, n)
     params = TrainableGaussians.from_scene(scene)
     cams = [
         make_camera((0.3 * i - 0.15, 0, 2.8), (0, 0, 0),
-                    width=256, height=256)
+                    width=192, height=192)
         for i in range(2)
     ]
     rng = np.random.default_rng(3)
     targets = [
-        jnp.asarray(rng.random((256, 256, 4)).astype(np.float32))
+        jnp.asarray(rng.random((192, 192, 4)).astype(np.float32))
         for _ in cams
     ]
     cfg = FitConfig(early_stop=0.0, feature_bytes=32)
