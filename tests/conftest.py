@@ -23,3 +23,23 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
 jax.config.update("jax_num_cpu_devices", 8)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    The suite compiles hundreds of CPU programs across ~15 modules in one
+    process; jax retains every executable, and the accumulated RSS has
+    produced segfaults INSIDE XLA's CPU compiler near the end of full
+    runs (observed at test 130/140 — the same tests pass in isolation).
+    Dropping the in-process caches at module teardown keeps the compiler
+    fed; shapes rarely repeat across modules, so the recompile cost is
+    negligible."""
+    yield
+    import jax
+
+    jax.clear_caches()
